@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end validation run — the `spark-submit --py-files` entrypoint.
+
+    spark-submit --py-files tag_spark.zip run_validation.py \
+        --input /path/to/transcripts --output /path/to/out [--resume]
+
+Without --input, generates a deterministic synthetic transcript table
+(--n-convs, --seed) first. Writes:
+    <output>/violations/   stable-sorted violation rows (parquet)
+    <output>/verdicts/     per-(bucket, check) verdict matrix (parquet)
+    <output>/manifest/     checkpoint manifest for resume (parquet)
+and prints a run summary to stdout (the `cmd/check` histogram analog,
+cmd/check/main.go:162-190).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", default=None, help="transcripts parquet path (default: generate synthetic)")
+    p.add_argument("--output", default="/tmp/tag_spark_out", help="output directory")
+    p.add_argument("--n-convs", type=int, default=10_000, help="synthetic conversations when no --input")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--resume", action="store_true", help="skip buckets already completed in the manifest")
+    p.add_argument("--stats", action="store_true", help="also collect per-bucket column stats")
+    args = p.parse_args(argv)
+
+    from tag_spark.session import get_spark
+    from tag_spark.generate import dim_role, dim_tool, generate_transcripts
+    from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
+    from tag_spark.plans.checkpoint import CheckpointManifest
+
+    spark = get_spark(app_name="tag-spark-validate", master=args.master)
+    t0 = time.monotonic()
+
+    if args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        df = generate_transcripts(spark, n_convs=args.n_convs, seed=args.seed)
+
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    manifest = CheckpointManifest(spark, f"{args.output}/manifest")
+
+    if args.resume:
+        done = manifest.completed_buckets()
+        df = manifest.filter_pending(df)
+        print(f"resume: skipping {len(done)} completed buckets", flush=True)
+
+    res = suite.run(df)
+
+    ValidationSuite.stable_violations(res.violations).write.mode("overwrite").parquet(f"{args.output}/violations")
+    res.verdicts.orderBy("bucket_id", "check_id").write.mode("overwrite").parquet(f"{args.output}/verdicts")
+
+    if args.stats:
+        from tag_spark.operators.stats import collect_stats_arrow
+
+        collect_stats_arrow(df, ["turn_idx", "role", "text", "tool", "ts"]).write.mode("overwrite").parquet(
+            f"{args.output}/stats"
+        )
+
+    manifest.record_run(res)
+    wall = time.monotonic() - t0
+
+    # stdout summary — error histogram, like cmd/check's decodeErrors tally
+    verd = spark.read.parquet(f"{args.output}/verdicts")
+    viol = spark.read.parquet(f"{args.output}/violations")
+    n_rows = verd.filter(F.col("check_id") == "unique_turn").agg(F.sum("rows_checked")).first()[0] or 0
+    print(f"rows validated: {n_rows}")
+    print(f"wall: {wall:.2f}s  throughput: {n_rows / max(wall, 1e-9):.0f} turns/sec")
+    print("verdict summary (check x verdict):")
+    for r in verd.groupBy("check_id", "verdict").count().orderBy("check_id", "verdict").collect():
+        print(f"  {r['check_id']:28s} {r['verdict']:4s} buckets={r['count']}")
+    print("top violation reasons:")
+    for r in viol.groupBy("check_id", "severity").count().orderBy(F.desc("count")).limit(20).collect():
+        print(f"  {r['check_id']:28s} [{r['severity']}] rows={r['count']}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

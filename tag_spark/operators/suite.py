@@ -1,0 +1,202 @@
+"""ValidationSuite — compiles a list of check specs into ONE Spark job.
+
+Physical shape (SURVEY.md §4 target: ≤2 shuffles per run):
+
+    parquet/Iceberg scan  (column-pruned: only referenced columns are read)
+      └─ broadcast-hash joins for RefIntegrity dims      (no shuffle)
+          └─ ONE exchange: hashpartition(conv_id)        (the only big shuffle)
+              └─ window exprs for Unique/Contiguous/Monotonic
+                  └─ fused select: array of per-check violation structs
+                      └─ explode_outer → violations
+    verdicts = tiny agg over violations  ⨯  per-bucket row counts
+
+Violation output is deterministically ordered by (check_id, conv_id,
+turn_idx) so fixtures are byte-for-byte stable at any parallelism — the
+anti-lesson of the reference's nondeterministic Go map iteration
+(id3v1.go:121, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tag_spark.functions.hashing import turn_sha1
+from tag_spark.operators.checks import (
+    Check,
+    Conditional,
+    ContiguousIndex,
+    InRange,
+    LengthMax,
+    Monotonic,
+    NonEmpty,
+    NotNull,
+    RefIntegrity,
+    RegexDisallow,
+    SEV_ERROR,
+    SEV_WARN,
+    Unique,
+    WindowCheck,
+)
+from tag_spark.schema import N_BUCKETS
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame  # VIOLATION_SCHEMA + bucket_id
+    verdicts: DataFrame  # VERDICT_SCHEMA
+    bucket_counts: DataFrame  # (bucket_id, rows_checked)
+
+
+def bucket_expr(col: str = "conv_id", n_buckets: int = N_BUCKETS):
+    """Deterministic logical partition id: stable across parallelism levels,
+    unlike spark_partition_id()."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+class ValidationSuite:
+    def __init__(self, checks: list[Check], n_buckets: int = N_BUCKETS, key_cols: tuple[str, str] = ("conv_id", "turn_idx")):
+        ids = [c.check_id for c in checks]
+        if len(ids) != len(set(ids)):
+            raise ValueError(f"duplicate check_id in suite: {ids}")
+        self.checks = checks
+        self.n_buckets = n_buckets
+        self.key_cols = key_cols
+
+    # ------------------------------------------------------------------
+    def violations(self, df: DataFrame, shuffle_for_windows: bool = True) -> DataFrame:
+        """All violation rows in one fused plan (unordered — order at write)."""
+        conv_col, idx_col = self.key_cols
+
+        ref_checks = [c for c in self.checks if isinstance(c, RefIntegrity)]
+        window_checks = [c for c in self.checks if isinstance(c, WindowCheck)]
+
+        # broadcast dimension joins first (map-side, no shuffle)
+        work = df
+        for c in ref_checks:
+            work = c.prejoin(work)
+
+        # Window exprs require the shuffle; evaluating them in the same
+        # select as the row-level predicates lets Spark compute everything
+        # in a single stage after one exchange.
+        if window_checks and shuffle_for_windows:
+            work = work.repartition(F.col(conv_col))
+
+        fails = [
+            F.when(
+                ~c.predicate(work),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.lit(c.severity).alias("severity"),
+                    (F.lit(c.column) if c.column else F.lit(None)).cast("string").alias("column"),
+                    c.reason().alias("reason"),
+                ),
+            )
+            for c in self.checks
+        ]
+
+        exploded = (
+            work.select(
+                F.col(conv_col),
+                F.col(idx_col),
+                turn_sha1(conv_col, idx_col, "text").alias("text_sha1"),
+                bucket_expr(conv_col, self.n_buckets).alias("bucket_id"),
+                F.array(*fails).alias("__fails"),
+            )
+            .select(
+                conv_col,
+                idx_col,
+                "text_sha1",
+                "bucket_id",
+                F.explode(F.filter(F.col("__fails"), lambda x: x.isNotNull())).alias("__f"),
+            )
+            .select(
+                F.col("__f.check_id").alias("check_id"),
+                F.col("__f.severity").alias("severity"),
+                F.col(conv_col).alias("conv_id"),
+                F.col(idx_col).cast("int").alias("turn_idx"),
+                F.col("__f.column").alias("column"),
+                F.col("__f.reason").alias("reason"),
+                F.col("text_sha1"),
+                F.col("bucket_id"),
+            )
+        )
+        return exploded
+
+    # ------------------------------------------------------------------
+    def run(self, df: DataFrame) -> ValidationResult:
+        conv_col = self.key_cols[0]
+        violations = self.violations(df)
+
+        bucket_counts = df.groupBy(bucket_expr(conv_col, self.n_buckets).alias("bucket_id")).agg(
+            F.count(F.lit(1)).alias("rows_checked")
+        )
+
+        sev = {c.check_id: c.severity for c in self.checks}
+        sev_map = F.create_map(*[x for cid, s in sev.items() for x in (F.lit(cid), F.lit(s))])
+
+        vcounts = violations.groupBy("bucket_id", "check_id").agg(F.count(F.lit(1)).alias("rows_violating"))
+
+        # full matrix: every (bucket present in data) x (check in suite)
+        checks_df = df.sparkSession.createDataFrame([(c.check_id,) for c in self.checks], "check_id string")
+        matrix = bucket_counts.crossJoin(F.broadcast(checks_df))
+        verdicts = (
+            matrix.join(vcounts, ["bucket_id", "check_id"], "left")
+            .withColumn("rows_violating", F.coalesce(F.col("rows_violating"), F.lit(0)).cast("long"))
+            .withColumn(
+                "verdict",
+                F.when(F.col("rows_violating") == 0, F.lit("PASS"))
+                .when(sev_map[F.col("check_id")] == SEV_WARN, F.lit("WARN"))
+                .otherwise(F.lit("FAIL")),
+            )
+            .select("bucket_id", "check_id", "verdict", F.col("rows_checked").cast("long").alias("rows_checked"), "rows_violating")
+        )
+        return ValidationResult(violations=violations, verdicts=verdicts, bucket_counts=bucket_counts)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def stable_violations(violations: DataFrame) -> DataFrame:
+        """Deterministic global order for fixture writes. Violation sets are
+        small relative to input; a global sort here is fine (never applied to
+        the fact table)."""
+        return violations.orderBy("check_id", "conv_id", "turn_idx", "reason")
+
+
+# ---------------------------------------------------------------------------
+
+
+def default_transcript_suite(dim_role: DataFrame, dim_tool: DataFrame, text_cap: int = 16_384) -> ValidationSuite:
+    """The full constraint suite for transcript tables — each check cites the
+    reference behavior it re-expresses (SURVEY.md §2)."""
+    return ValidationSuite(
+        checks=[
+            # required fields (structural header errors are abort-class)
+            NotNull("turn_idx_not_null", SEV_ERROR, col="turn_idx"),
+            NotNull("role_not_null", SEV_ERROR, col="role"),
+            NotNull("ts_not_null", SEV_ERROR, col="ts"),
+            NotNull("text_not_null", SEV_ERROR, col="text"),
+            # tolerated anomalies -> warn (padding-skip class, id3v2.go:277-280)
+            NonEmpty("text_nonempty", SEV_WARN, col="text"),
+            RegexDisallow("text_no_nul", SEV_WARN, col="text", pattern="\x00"),
+            # bounds (genre-index bounds / year parsing / alloc cap analogs)
+            InRange("turn_idx_nonneg", SEV_ERROR, col="turn_idx", lo=0),
+            InRange("ts_in_epoch_range", SEV_ERROR, col="ts", lo="1970-01-01 00:00:00", hi="2100-01-01 00:00:00"),
+            LengthMax("text_max_len", SEV_ERROR, col="text", max_len=text_cap),
+            # cross-field conditional (flag-consistency analog, id3v2.go:282-321)
+            Conditional("tool_requires_assistant", SEV_ERROR, when_sql="tool is not null", then_sql="role = 'assistant'"),
+            # vocabulary referential checks (validID3Frame analog)
+            RefIntegrity("role_in_vocab", SEV_ERROR, col="role", dim=dim_role, allow_null=True),
+            RefIntegrity("tool_in_vocab", SEV_ERROR, col="tool", dim=dim_tool, allow_null=True),
+            # set-level (one conv_id shuffle shared by all three)
+            Unique("unique_turn", SEV_ERROR, keys=("conv_id", "turn_idx")),
+            ContiguousIndex("turn_contiguous", SEV_ERROR),
+            Monotonic("ts_monotone", SEV_ERROR, col="ts"),
+        ]
+    )
+
+
+def union_violations(frames: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), frames)
