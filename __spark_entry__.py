@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (the validation engine's
+violation output over the sf0.001 events table). ``queries()`` exposes each
+implemented operator from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL equivalent the driver cross-checks at sf0.01.
+
+Numeric outputs are either exact integers, exact decimal-backed sums cast to
+double after aggregation, or doubles rounded to ≤6 dp, so value hashes are
+stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +15,267 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# engine-on-testdata queries: the suite's own violation rows, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.generic_suites import events_suite, violation_keys
+
+    return violation_keys(events_suite(), _t(spark, sf_dir, "events"), ("user_id", "event_id"))
+
+
+_EVENTS_VIOLATIONS_SQL = """
+WITH viol AS (
+    SELECT 'event_type_in_vocab' AS check_id, 'error' AS severity, user_id, event_id
+    FROM events
+    WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+  UNION ALL
+    SELECT 'value_nonneg', 'error', user_id, event_id FROM events
+    WHERE value IS NOT NULL AND value < 0
+  UNION ALL
+    SELECT 'purchase_value_positive', 'warn', user_id, event_id FROM events
+    WHERE event_type = 'purchase' AND NOT coalesce(value > 0, FALSE)
+  UNION ALL
+    SELECT 'unique_event_id', 'error', user_id, event_id FROM (
+        SELECT user_id, event_id, count(*) OVER (PARTITION BY event_id) AS c FROM events
+    ) WHERE c > 1
+  UNION ALL
+    SELECT 'ts_monotone', 'error', user_id, event_id FROM (
+        SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        FROM events
+    ) WHERE prev IS NOT NULL AND ts IS NOT NULL AND ts < prev
+  UNION ALL
+    SELECT 'event_id_not_null', 'error', user_id, event_id FROM events WHERE event_id IS NULL
+  UNION ALL
+    SELECT 'ts_not_null', 'error', user_id, event_id FROM events WHERE ts IS NULL
+)
+SELECT check_id, severity, CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id
+FROM viol
+"""
+
+
+def _lineitem_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.generic_suites import lineitem_suite, violation_keys
+
+    return violation_keys(lineitem_suite(), _t(spark, sf_dir, "lineitem"), ("l_orderkey", "l_linenumber"))
+
+
+_LINEITEM_VIOLATIONS_SQL = """
+WITH viol AS (
+    SELECT 'returnflag_in_vocab' AS check_id, 'error' AS severity, l_orderkey, l_linenumber
+    FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+  UNION ALL
+    SELECT 'quantity_in_range', 'error', l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1.0 AND l_quantity <= 50.0)
+  UNION ALL
+    SELECT 'discount_in_range', 'error', l_orderkey, l_linenumber FROM lineitem
+    WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0.0 AND l_discount <= 1.0)
+  UNION ALL
+    SELECT 'unique_lineitem', 'error', l_orderkey, l_linenumber FROM (
+        SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS c
+        FROM lineitem
+    ) WHERE c > 1
+  UNION ALL
+    SELECT 'linenumber_contiguous', 'warn', l_orderkey, l_linenumber FROM (
+        SELECT l_orderkey, l_linenumber,
+               lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev
+        FROM lineitem
+    ) WHERE (prev IS NULL AND l_linenumber <> 1)
+       OR (prev IS NOT NULL AND l_linenumber <> prev + 1 AND l_linenumber <> prev)
+  UNION ALL
+    SELECT 'shipdate_monotone', 'warn', l_orderkey, l_linenumber FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) AS prev
+        FROM lineitem
+    ) WHERE prev IS NOT NULL AND l_shipdate IS NOT NULL AND l_shipdate < prev
+)
+SELECT check_id, severity, CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+FROM viol
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar / agg / join operators (SURVEY.md §2.2-2.8 analogs)
+# ---------------------------------------------------------------------------
+
+
+def _dialect_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S2/Identify analog: cheap classification pre-pass
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _unique_event_id_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 analog: duplicate screening (exact arm; HLL screen is engine-internal)
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_dupes"),
+    )
+
+
+def _ref_orders_customer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 analog: referential integrity via broadcast anti-join
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    orphans = o.join(F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # flagship analytics query (A1-style histogramming at full width);
+    # decimal-exact sums, cast to double post-agg for a stable hash
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.avg(dec("l_quantity")), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg(dec("l_extendedprice")), 4).cast("double").alias("avg_price"),
+        )
+    )
+
+
+def _events_ts_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 analog: timestamp validity/span — exact integer microseconds
+    e = _t(spark, sf_dir, "events")
+    # parquet timestamps load as TIMESTAMP_NTZ; session tz is pinned UTC so
+    # the cast is lossless and matches DuckDB's naive-UTC epoch_us()
+    return e.agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+        F.count(F.when((F.year("ts") < 1970) | (F.year("ts") > 2100), 1)).alias("n_out_of_range"),
+    )
+
+
+def _null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P15/A6 analog: null-rate profile in one pass
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
+    )
+
+
+def _props_json_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 JSON functions: raw-map escape hatch (Raw()/mbz Info analog)
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.agg(
+        F.count(k).alias("n_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+def _doc_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1 analog: canonical per-record content hash (md5: common to both engines)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+def _doc_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup via content-hash grouping (A2 hashes analog)
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text")))).alias("n_dup_docs"),
+    )
+
+
+def _doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift-histogram builder (engine §2.4 A6 / PSI input)
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.floor(F.length("text") / 100).cast("long").alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "events_violations": _events_violations,
+        "lineitem_violations": _lineitem_violations,
+        "dialect_histogram": _dialect_histogram,
+        "unique_event_id_summary": _unique_event_id_summary,
+        "ref_orders_customer_orphans": _ref_orders_customer_orphans,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "events_ts_span": _events_ts_span,
+        "null_profile_orders": _null_profile_orders,
+        "props_json_k_stats": _props_json_k_stats,
+        "doc_text_md5": _doc_text_md5,
+        "doc_exact_dedup_summary": _doc_exact_dedup_summary,
+        "doc_len_histogram": _doc_len_histogram,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_violations": _EVENTS_VIOLATIONS_SQL,
+        "lineitem_violations": _LINEITEM_VIOLATIONS_SQL,
+        "dialect_histogram": "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+        "unique_event_id_summary": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,"
+            " CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes FROM events"
+        ),
+        "ref_orders_customer_orphans": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM orders o"
+            " WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,"
+            " CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,"
+            " CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_price"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_ts_span": (
+            "SELECT epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us,"
+            " CAST(count(*) FILTER (WHERE year(ts) < 1970 OR year(ts) > 2100) AS BIGINT) AS n_out_of_range"
+            " FROM events"
+        ),
+        "null_profile_orders": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            " CAST(count(o_orderkey) AS BIGINT) AS nn_o_orderkey,"
+            " CAST(count(o_custkey) AS BIGINT) AS nn_o_custkey,"
+            " CAST(count(o_orderstatus) AS BIGINT) AS nn_o_orderstatus,"
+            " CAST(count(o_totalprice) AS BIGINT) AS nn_o_totalprice,"
+            " CAST(count(o_orderdate) AS BIGINT) AS nn_o_orderdate,"
+            " CAST(count(o_orderpriority) AS BIGINT) AS nn_o_orderpriority"
+            " FROM orders"
+        ),
+        "props_json_k_stats": (
+            "SELECT CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,"
+            " CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,"
+            " CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,"
+            " CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k"
+            " FROM events"
+        ),
+        "doc_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "doc_exact_dedup_summary": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,"
+            " CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs FROM documents"
+        ),
+        "doc_len_histogram": (
+            "SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n"
+            " FROM documents GROUP BY 1"
+        ),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the validation engine's violation rows over sf0.001 events."""
+    return _events_violations(spark, "/root/testdata/sf0.001")

@@ -203,13 +203,16 @@ class Unique(WindowCheck):
     flag every member of a duplicate group, SURVEY.md §7 hard part (b))."""
 
     keys: Sequence[str] = ("conv_id", "turn_idx")
+    # deterministic tie-break for the rank in the violation reason; must not
+    # contain the keys themselves
+    rank_by: Sequence[str] = ("ts", "text")
 
     def predicate(self, df: DataFrame) -> Column:
         w = Window.partitionBy(*[F.col(k) for k in self.keys])
         return F.count(F.lit(1)).over(w) == 1
 
     def reason(self) -> Column:
-        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(F.col("ts").asc_nulls_last(), F.col("text").asc_nulls_last())
+        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*[F.col(c).asc_nulls_last() for c in self.rank_by])
         return F.concat(
             F.lit(f"duplicate key ({','.join(self.keys)}) rank="),
             (F.row_number().over(w) - 1).cast("string"),
@@ -218,25 +221,26 @@ class Unique(WindowCheck):
 
 @dataclass(frozen=True)
 class ContiguousIndex(WindowCheck):
-    """turn_idx must start at 0 and increase by exactly 1 — the frame-offset
-    monotonicity of the sequential frame scan (id3v2.go:237-275) and OGG
-    page-sequence continuity (ogg.go:109-115)."""
+    """turn_idx must start at ``start`` and increase by exactly 1 — the
+    frame-offset monotonicity of the sequential frame scan (id3v2.go:237-275)
+    and OGG page-sequence continuity (ogg.go:109-115)."""
 
     idx_col: str = "turn_idx"
+    start: int = 0
 
     def predicate(self, df: DataFrame) -> Column:
         w = self._w()
         prev = F.lag(F.col(self.idx_col)).over(w)
-        first_ok = prev.isNotNull() | (F.col(self.idx_col) == 0)
+        first_ok = prev.isNotNull() | (F.col(self.idx_col) == self.start)
         step_ok = prev.isNull() | (F.col(self.idx_col) == prev + 1) | (F.col(self.idx_col) == prev)  # dup handled by Unique
         return first_ok & step_ok
 
     def reason(self) -> Column:
         w = self._w()
         prev = F.lag(F.col(self.idx_col)).over(w)
-        return F.when(prev.isNull(), F.concat(F.lit("sequence must start at 0, got "), F.col(self.idx_col).cast("string"))).otherwise(
-            F.concat(F.lit("sequence gap: "), prev.cast("string"), F.lit(" -> "), F.col(self.idx_col).cast("string"))
-        )
+        return F.when(
+            prev.isNull(), F.concat(F.lit(f"sequence must start at {self.start}, got "), F.col(self.idx_col).cast("string"))
+        ).otherwise(F.concat(F.lit("sequence gap: "), prev.cast("string"), F.lit(" -> "), F.col(self.idx_col).cast("string")))
 
 
 @dataclass(frozen=True)

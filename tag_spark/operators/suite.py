@@ -58,13 +58,26 @@ def bucket_expr(col: str = "conv_id", n_buckets: int = N_BUCKETS):
 
 
 class ValidationSuite:
-    def __init__(self, checks: list[Check], n_buckets: int = N_BUCKETS, key_cols: tuple[str, str] = ("conv_id", "turn_idx")):
+    def __init__(
+        self,
+        checks: list[Check],
+        n_buckets: int = N_BUCKETS,
+        key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+        hash_col: str = "text",
+        bucket_fn=None,
+    ):
+        """``key_cols`` = (group key, within-group order key) — (conv_id,
+        turn_idx) for transcripts, (user_id, event_id) for event streams.
+        ``bucket_fn(col_name, n) -> Column`` overrides the deterministic
+        logical-partition expression (default: pmod(xxhash64(key), n))."""
         ids = [c.check_id for c in checks]
         if len(ids) != len(set(ids)):
             raise ValueError(f"duplicate check_id in suite: {ids}")
         self.checks = checks
         self.n_buckets = n_buckets
         self.key_cols = key_cols
+        self.hash_col = hash_col
+        self.bucket_fn = bucket_fn or bucket_expr
 
     # ------------------------------------------------------------------
     def violations(self, df: DataFrame, shuffle_for_windows: bool = True) -> DataFrame:
@@ -102,8 +115,8 @@ class ValidationSuite:
             work.select(
                 F.col(conv_col),
                 F.col(idx_col),
-                turn_sha1(conv_col, idx_col, "text").alias("text_sha1"),
-                bucket_expr(conv_col, self.n_buckets).alias("bucket_id"),
+                turn_sha1(conv_col, idx_col, self.hash_col).alias("text_sha1"),
+                self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
                 F.array(*fails).alias("__fails"),
             )
             .select(
@@ -117,7 +130,7 @@ class ValidationSuite:
                 F.col("__f.check_id").alias("check_id"),
                 F.col("__f.severity").alias("severity"),
                 F.col(conv_col).alias("conv_id"),
-                F.col(idx_col).cast("int").alias("turn_idx"),
+                F.col(idx_col).alias("turn_idx"),
                 F.col("__f.column").alias("column"),
                 F.col("__f.reason").alias("reason"),
                 F.col("text_sha1"),
@@ -131,7 +144,7 @@ class ValidationSuite:
         conv_col = self.key_cols[0]
         violations = self.violations(df)
 
-        bucket_counts = df.groupBy(bucket_expr(conv_col, self.n_buckets).alias("bucket_id")).agg(
+        bucket_counts = df.groupBy(self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id")).agg(
             F.count(F.lit(1)).alias("rows_checked")
         )
 
