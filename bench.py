@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Headline queries:
+  transcript_suite   full constraint suite over a synthetic transcript table
+                     sized ~6.5M*sf turns (generated to parquet, generation
+                     excluded from timing) — the north_star metric; also
+                     reported as turns_per_sec
+  events_suite       engine violations over the sf events table
+  lineitem_suite     engine violations over the sf lineitem table
+  q1_pricing         flagship analytics aggregate over lineitem
+  stats_arrow        per-bucket pandas-Arrow stats collector over transcripts
+  drift_check        histogram + PSI/KS vs a baseline split
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def force(df) -> int:
+    """Force full computation without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from tag_spark.session import get_spark
+    from tag_spark.generate import dim_role, dim_tool, generate_transcripts
+    from tag_spark.operators.suite import default_transcript_suite
+    from tag_spark.operators.generic_suites import events_suite, lineitem_suite, violation_keys
+    from tag_spark.operators.stats import collect_stats_arrow
+    from tag_spark.operators.drift import drift_check, transcript_baseline
+
+    sf = sf_value(SF_DIR)
+    spark = get_spark(app_name="tag-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+
+    # --- prepare synthetic transcripts (NOT timed: input materialization) ---
+    n_convs = max(2_000, int(100_000 * sf / 0.1))  # ~6.5 turns/conv
+    tpath = f"/tmp/tag_spark_bench_transcripts_sf{sf}"
+    if not os.path.exists(f"{tpath}/_SUCCESS"):
+        shutil.rmtree(tpath, ignore_errors=True)
+        generate_transcripts(spark, n_convs=n_convs, seed=42).write.mode("overwrite").parquet(tpath)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+
+    def run_transcript_suite():
+        res = suite.run(transcripts)
+        force(res.violations)
+        force(res.verdicts)
+
+    bench("transcript_suite", run_transcript_suite)
+    bench("events_suite", lambda: force(violation_keys(events_suite(), events, ("user_id", "event_id"))))
+    bench(
+        "lineitem_suite",
+        lambda: force(violation_keys(lineitem_suite(), lineitem, ("l_orderkey", "l_linenumber"))),
+    )
+    bench(
+        "q1_pricing",
+        lambda: force(
+            lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+                F.count(F.lit(1)).alias("count_order"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+            )
+        ),
+    )
+    bench("stats_arrow", lambda: force(collect_stats_arrow(transcripts, ["turn_idx", "role", "text", "tool", "ts"])))
+
+    def run_drift():
+        base = transcript_baseline(transcripts.filter(F.xxhash64("conv_id") % 2 == 0))
+        cur = transcript_baseline(transcripts.filter(F.xxhash64("conv_id") % 2 != 0))
+        drift_check(spark, base, cur).collect()
+
+    bench("drift_check", run_drift)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "validation+analytics suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["transcript_suite"], 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,18 +111,20 @@ class ValidationSuite:
             for c in self.checks
         ]
 
+        # text_sha1 is computed AFTER the explode so SHA-1 runs only on
+        # violating rows, not the whole table (violations << rows at scale)
         exploded = (
             work.select(
                 F.col(conv_col),
                 F.col(idx_col),
-                turn_sha1(conv_col, idx_col, self.hash_col).alias("text_sha1"),
+                F.col(self.hash_col),
                 self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
                 F.array(*fails).alias("__fails"),
             )
             .select(
                 conv_col,
                 idx_col,
-                "text_sha1",
+                self.hash_col,
                 "bucket_id",
                 F.explode(F.filter(F.col("__fails"), lambda x: x.isNotNull())).alias("__f"),
             )
@@ -133,7 +135,7 @@ class ValidationSuite:
                 F.col(idx_col).alias("turn_idx"),
                 F.col("__f.column").alias("column"),
                 F.col("__f.reason").alias("reason"),
-                F.col("text_sha1"),
+                turn_sha1(conv_col, idx_col, self.hash_col).alias("text_sha1"),
                 F.col("bucket_id"),
             )
         )
