@@ -50,7 +50,10 @@ def histogram(df: DataFrame, expr: Column, metric: str, lo: float, hi: float, n_
     One partial+final hash aggregate; output ≤ n_buckets rows."""
     w = (hi - lo) / n_buckets
     x = expr.cast("double")
-    bucket = F.least(F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)), F.lit(n_buckets - 1)).cast("int")
+    # NB: greatest()/least() IGNORE nulls in Spark (greatest(null,0)==0), so
+    # null inputs must be gated explicitly or they silently join bucket 0
+    clamped = F.least(F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)), F.lit(n_buckets - 1))
+    bucket = F.when(x.isNotNull(), clamped).cast("int")
     out = (
         df.select(bucket.alias("bucket"))
         .where(F.col("bucket").isNotNull())
