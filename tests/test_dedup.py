@@ -1,0 +1,85 @@
+"""Dedup cascade: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tag_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the tall fence "
+    "and the birds sing in the morning light near the old stone bridge by the river"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("morning", "evening")),  # near dup of 0
+        (3, BASE.replace("quick brown", "slow red").replace("lazy", "sleepy")),  # near-ish
+        (4, "completely different content about spark dataframes and shuffle partitions at scale"),
+        (5, "another unrelated document mentioning minhash signatures and banded lsh buckets"),
+        (6, "  The   Quick Brown fox jumps over the lazy dog while the cat watches from the tall fence "
+            "and the birds sing in the morning light near the old stone bridge by the river"),  # case/ws variant of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    d = exact_dedup(docs)
+    groups = {tuple(sorted(r["doc_id"] for r in g)) for g in [d.collect()] for g in [d.collect()]}
+    rows = d.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [0, 1, 6]  # 6 differs only in case/whitespace
+    assert {r["dup_rank"] for r in rows} == {0, 1, 2}
+    assert all(r["group_size"] == 3 for r in rows)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 6) in pairs and pairs[(0, 6)] == 1.0  # normalization via lower/ws-collapse
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+    # verified candidates must match exact jaccard values
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    for key, j in pairs.items():
+        assert key in exact
+        assert abs(exact[key] - j) < 1e-9
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs  # near dup within hamming ball
+    assert (4, 5) not in pairs
+
+
+def test_lsh_deterministic(docs):
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs.repartition(7), threshold=0.5).collect()))
+    assert a == b

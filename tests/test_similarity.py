@@ -1,0 +1,45 @@
+"""Similarity search: exact top-k baseline, LSH-ANN recall, IVF."""
+
+import pytest
+
+from tag_spark.operators.similarity import cosine_self_join, cosine_topk, ivf_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+
+def test_cosine_topk_exact(emb, qvec):
+    top = cosine_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(emb, qvec):
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=5).collect()]
+    ann = [r["vec_id"] for r in lsh_ann_topk(emb, qvec, k=5, n_planes=8, n_tables=8).collect()]
+    # the query itself must always be found; recall@5 ≥ 0.4 with 8 tables
+    assert exact[0] in ann
+    assert len(set(exact) & set(ann)) >= 2
+
+
+def test_ivf_topk(emb, qvec):
+    got = ivf_topk(emb, qvec, k=5, nprobe=8, n_cells=16).collect()
+    assert got[0]["vec_id"] == 0  # query's own cell is always probed
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_self_join_threshold(emb):
+    pairs = cosine_self_join(emb.limit(60), threshold=0.9).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.9
