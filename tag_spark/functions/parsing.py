@@ -1,0 +1,210 @@
+"""Scalar function analogs of the reference's decode helpers (SURVEY.md §2.7).
+
+Every function is a pure Column expression (JVM-side, codegen'd). Each
+docstring cites the reference behavior it re-expresses; semantic quirks
+(tolerant parsing, fallback chains, boundary repair) are preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- F1: trimString (id3v1.go:112-114) --------------------------------------
+
+
+def trim_nuls(col: Column | str) -> Column:
+    """Strip NUL bytes then surrounding whitespace."""
+    return F.trim(F.regexp_replace(_c(col), "\x00", ""))
+
+
+# --- F2: readTFrame NUL-join (id3v2frames.go:304-314) ------------------------
+
+
+def strip_embedded_nuls(col: Column | str) -> Column:
+    """Remove embedded single-NUL separators inside text frames."""
+    return F.regexp_replace(_c(col), "\x00", "")
+
+
+# --- F4/F5/F6: decodeText 4-way (id3v2frames.go:316-350) ---------------------
+
+
+def decode_text(bin_col: Column | str, enc_col: Column | str) -> Column:
+    """Encoding-byte dispatch: 0=ISO-8859-1, 1=UTF-16 (BOM), 2=UTF-16BE,
+    3=UTF-8, anything else falls back to ISO-8859-1 (the reference's
+    default branch, id3v2frames.go:347-349)."""
+    b, e = _c(bin_col), _c(enc_col)
+    return (
+        F.when(e == 0, F.decode(b, "ISO-8859-1"))
+        .when(e == 1, F.decode(b, "UTF-16"))
+        .when(e == 2, F.decode(b, "UTF-16BE"))
+        .when(e == 3, F.decode(b, "UTF-8"))
+        .otherwise(F.decode(b, "ISO-8859-1"))
+    )
+
+
+def utf16_parity_ok(bin_col: Column | str) -> Column:
+    """P9: UTF-16 byte length must be even (id3v2frames.go:409-412)."""
+    b = _c(bin_col)
+    return b.isNull() | (F.length(b) % 2 == 0)
+
+
+def bom_byte_order(bin_col: Column | str) -> Column:
+    """P10: FE FF → BE, FF FE → LE, else null (caller applies the
+    configurable default, id3v2frames.go:388-407)."""
+    b = _c(bin_col)
+    return (
+        F.when(F.substring(b, 1, 2) == F.lit(b"\xfe\xff"), F.lit("BE"))
+        .when(F.substring(b, 1, 2) == F.lit(b"\xff\xfe"), F.lit("LE"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# --- F7: dataSplit boundary repair (id3v2frames.go:357-378) ------------------
+
+
+def split_with_repair(col: Column | str, delim: str = "\x00") -> Column:
+    """Split into exactly 2 parts on the delimiter; if the second part
+    starts with another delimiter byte (odd-split boundary), shift it left —
+    the reference's UTF-16 boundary repair, expressed conditionally."""
+    c = _c(col)
+    parts = F.split(c, delim, 2)
+    first = F.element_at(parts, 1)
+    second = F.element_at(parts, 2)
+    repaired = F.when(second.startswith(delim), F.substring(second, 2, 2**31 - 1)).otherwise(second)
+    return F.array(first, repaired)
+
+
+# --- F8: parseXofN (id3v2metadata.go:107-116) --------------------------------
+
+
+def parse_x_of_n(col: Column | str) -> Column:
+    """'3/6' → struct(x=3, n=6). Tolerant like the reference: spaces are
+    trimmed, a missing half or junk parses to null (Go ignores the Atoi
+    error), a bare '3' gives (3, null)."""
+    c = F.trim(_c(col))
+    parts = F.split(c, "/", 2)
+    # try_cast: junk → null, matching Go's ignored Atoi error (ANSI mode
+    # would otherwise throw on malformed input)
+    x = F.trim(F.element_at(parts, 1)).try_cast("int")
+    n = F.when(F.size(parts) > 1, F.trim(F.element_at(parts, 2)).try_cast("int"))
+    return F.struct(x.alias("x"), n.alias("n"))
+
+
+# --- F9: year parsing fallback chain ------------------------------------------
+# (id3v1.go:128-135; id3v2metadata.go:92-105; vorbis.go:212-237; mp4.go:331-338)
+
+
+def parse_year(col: Column | str) -> Column:
+    """Multi-format year: plain int → ISO date (len 10) → ISO year-month
+    (len 7) → bare year (len 4) → first-4-chars digits. Null on junk."""
+    c = F.trim(_c(col))
+    return F.coalesce(
+        F.when(c.rlike(r"^\d{4}$"), c.cast("int")),
+        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}"), F.substring(c, 1, 4).cast("int")),
+        F.when(c.rlike(r"^\d{4}-\d{2}$"), F.substring(c, 1, 4).cast("int")),
+        F.when(F.substring(c, 1, 4).rlike(r"^\d{4}$"), F.substring(c, 1, 4).cast("int")),
+    )
+
+
+# --- F10: genre expansion (id3v2.go:446-469) ----------------------------------
+
+
+def expand_indexed_vocab(col: Column | str, vocab: list[str], max_rounds: int = 2) -> Column:
+    """Iterative '(NN)' index expansion against a vocabulary with the
+    reference's bounded fixpoint (≤2 rounds in practice) and '((' → '('
+    unescape. Vocab is a literal array (broadcast-free lookup)."""
+    arr = F.array(*[F.lit(v) for v in vocab])
+    out = _c(col)
+    for _ in range(max_rounds):
+        idx = F.regexp_extract(out, r"\((\d+)\)", 1)
+        replacement = F.when(
+            (idx != "") & (idx.cast("int") < len(vocab)),
+            F.element_at(arr, idx.cast("int") + 1),
+        )
+        out = F.when(
+            replacement.isNotNull(),
+            F.concat(
+                F.regexp_extract(out, r"^(.*?)\(\d+\)", 1),
+                replacement,
+                F.regexp_extract(out, r"^.*?\(\d+\)(.*)$", 1),
+            ),
+        ).otherwise(out)
+    return F.replace(out, F.lit("(("), F.lit("("))
+
+
+# --- F11/F12: synchsafe + bit helpers (util.go:13-34) -------------------------
+
+
+def synchsafe_to_int(bytes_col: Column | str) -> Column:
+    """7-bit-chunked 'synchsafe' integer fold over a binary column —
+    get7BitChunkedInt (util.go:18-25) as an aggregate over the byte array."""
+    b = _c(bytes_col)
+    # empty input → 0, the reference's convention (util_test.go:12-120);
+    # NB sequence(1, 0) would count DOWN in Spark, so the guard is required
+    idxs = F.when(F.length(b) > 0, F.sequence(F.lit(1), F.length(b))).otherwise(F.array().cast("array<int>"))
+    return F.aggregate(
+        idxs,
+        F.lit(0).cast("long"),
+        lambda acc, i: F.shiftleft(acc, 7).bitwiseOR(_byte_at(b, i).bitwiseAND(F.lit(127))),
+    )
+
+
+def _byte_at(b: Column, i: Column) -> Column:
+    # substring on binary returns 1-byte binary; hex→int converts it
+    return F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("long")
+
+
+def be_bytes_to_int(bytes_col: Column | str) -> Column:
+    """Big-endian byte fold — getInt (util.go:27-34)."""
+    b = _c(bytes_col)
+    idxs = F.when(F.length(b) > 0, F.sequence(F.lit(1), F.length(b))).otherwise(F.array().cast("array<int>"))
+    return F.aggregate(idxs, F.lit(0).cast("long"), lambda acc, i: F.shiftleft(acc, 8) + _byte_at(b, i))
+
+
+def test_bit(col: Column | str, n: int) -> Column:
+    """getBit (util.go:13-16)."""
+    return _c(col).bitwiseAND(F.lit(1 << n)) != 0
+
+
+# --- F13: base64 embedded blocks (vorbis.go:62-68) ----------------------------
+
+
+def decode_base64(col: Column | str) -> Column:
+    return F.unbase64(_c(col))
+
+
+# --- F14: MIME/extension bimap (id3v2frames.go:587-593) ------------------------
+
+_MIME = {"jpeg": "image/jpeg", "jpg": "image/jpeg", "png": "image/png", "gif": "image/gif"}
+
+
+def ext_to_mime(col: Column | str) -> Column:
+    c = F.lower(_c(col))
+    out = F.lit(None).cast("string")
+    chain = None
+    for ext, mime in _MIME.items():
+        chain = F.when(c == ext, F.lit(mime)) if chain is None else chain.when(c == ext, F.lit(mime))
+    return chain.otherwise(out)
+
+
+def mime_to_ext(col: Column | str) -> Column:
+    c = F.lower(_c(col))
+    chain = None
+    for ext, mime in _MIME.items():
+        if ext == "jpg":
+            continue
+        chain = F.when(c == mime, F.lit(ext)) if chain is None else chain.when(c == mime, F.lit(ext))
+    return chain.otherwise(F.lit(None).cast("string"))
+
+
+# --- F15: magic prefix sniff (mp4.go:54-55, tag.go:41-56) ----------------------
+
+
+def has_magic(bin_col: Column | str, magic: bytes) -> Column:
+    return F.substring(_c(bin_col), 1, len(magic)) == F.lit(magic)

@@ -195,6 +195,18 @@ class WindowCheck(Check):
     def _w(self) -> Window:
         return Window.partitionBy(*self.partition_by).orderBy(*[F.col(c) for c in self.order_by])
 
+    def referenced_cols(self) -> set[str]:
+        """Columns this check needs post-shuffle (suite projects everything
+        else away before the exchange — payload columns never shuffle).
+        ``__sha1`` is a virtual column the suite always provides. Subclasses
+        that ignore partition_by/order_by must override."""
+        cols = set(self.partition_by) | set(self.order_by)
+        for attr in ("col", "idx_col"):
+            v = getattr(self, attr, None)
+            if v:
+                cols.add(v)
+        return cols
+
 
 @dataclass(frozen=True)
 class Unique(WindowCheck):
@@ -204,8 +216,15 @@ class Unique(WindowCheck):
 
     keys: Sequence[str] = ("conv_id", "turn_idx")
     # deterministic tie-break for the rank in the violation reason; must not
-    # contain the keys themselves
-    rank_by: Sequence[str] = ("ts", "text")
+    # contain the keys themselves. "__sha1" (the canonical per-row hash the
+    # suite computes map-side) keeps ranks deterministic without shuffling
+    # the text payload.
+    rank_by: Sequence[str] = ("ts", "__sha1")
+
+    def referenced_cols(self) -> set[str]:
+        # Unique builds its windows from keys/rank_by only; the inherited
+        # partition_by/order_by defaults are unused and must not leak in
+        return set(self.keys) | set(self.rank_by)
 
     def predicate(self, df: DataFrame) -> Column:
         w = Window.partitionBy(*[F.col(k) for k in self.keys])

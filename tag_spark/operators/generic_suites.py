@@ -45,7 +45,7 @@ def events_suite(n_buckets: int = 64) -> ValidationSuite:
             InSet("event_type_in_vocab", SEV_ERROR, col="event_type", allowed=EVENT_TYPES),
             InRange("value_nonneg", SEV_ERROR, col="value", lo=0.0),
             Conditional("purchase_value_positive", SEV_WARN, when_sql="event_type = 'purchase'", then_sql="value > 0"),
-            Unique("unique_event_id", SEV_ERROR, keys=("event_id",), rank_by=("ts",)),
+            Unique("unique_event_id", SEV_ERROR, keys=("event_id",), rank_by=("ts", "__sha1")),
             Monotonic("ts_monotone", SEV_ERROR, col="ts", partition_by=("user_id",), order_by=("event_id",)),
         ],
         key_cols=("user_id", "event_id"),
@@ -61,7 +61,7 @@ def lineitem_suite(n_buckets: int = 64) -> ValidationSuite:
             InSet("returnflag_in_vocab", SEV_ERROR, col="l_returnflag", allowed=["A", "N", "R"]),
             InRange("quantity_in_range", SEV_ERROR, col="l_quantity", lo=1.0, hi=50.0),
             InRange("discount_in_range", SEV_ERROR, col="l_discount", lo=0.0, hi=1.0),
-            Unique("unique_lineitem", SEV_ERROR, keys=("l_orderkey", "l_linenumber"), rank_by=("l_shipdate",)),
+            Unique("unique_lineitem", SEV_ERROR, keys=("l_orderkey", "l_linenumber"), rank_by=("l_shipdate", "__sha1")),
             ContiguousIndex(
                 "linenumber_contiguous",
                 SEV_WARN,

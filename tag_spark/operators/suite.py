@@ -80,26 +80,31 @@ class ValidationSuite:
         self.bucket_fn = bucket_fn or bucket_expr
 
     # ------------------------------------------------------------------
-    def violations(self, df: DataFrame, shuffle_for_windows: bool = True) -> DataFrame:
-        """All violation rows in one fused plan (unordered — order at write)."""
+    def violations(self, df: DataFrame, shuffle_for_windows: bool = True, carry_cols: tuple[str, ...] = ()) -> DataFrame:
+        """All violation rows in one fused plan (unordered — order at write).
+
+        Two-stage shape, chosen for 100 TB inputs:
+          stage 1 (map-side, pre-shuffle): broadcast dim joins, ALL row-level
+            predicates + their reason strings, the canonical text hash, and
+            the bucket id. Wide payload columns (text) are then DROPPED.
+          stage 2 (post-exchange on the conv key): only the lean columns the
+            window checks reference travel through the shuffle — never the
+            text payload. Window predicates + row fails explode together.
+        Window checks may reference the virtual column ``__sha1`` (e.g. as a
+        deterministic Unique rank tie-break) instead of the payload column.
+        """
         conv_col, idx_col = self.key_cols
 
         ref_checks = [c for c in self.checks if isinstance(c, RefIntegrity)]
         window_checks = [c for c in self.checks if isinstance(c, WindowCheck)]
+        row_checks = [c for c in self.checks if not isinstance(c, WindowCheck)]
 
-        # broadcast dimension joins first (map-side, no shuffle)
         work = df
         for c in ref_checks:
             work = c.prejoin(work)
 
-        # Window exprs require the shuffle; evaluating them in the same
-        # select as the row-level predicates lets Spark compute everything
-        # in a single stage after one exchange.
-        if window_checks and shuffle_for_windows:
-            work = work.repartition(F.col(conv_col))
-
-        fails = [
-            F.when(
+        def fail_struct(c: Check) -> Column:
+            return F.when(
                 ~c.predicate(work),
                 F.struct(
                     F.lit(c.check_id).alias("check_id"),
@@ -108,24 +113,47 @@ class ValidationSuite:
                     c.reason().alias("reason"),
                 ),
             )
-            for c in self.checks
-        ]
 
-        # text_sha1 is computed AFTER the explode so SHA-1 runs only on
-        # violating rows, not the whole table (violations << rows at scale)
-        exploded = (
-            work.select(
+        # columns the window stage still needs after stage 1
+        lean_cols: set[str] = set(carry_cols)
+        for c in window_checks:
+            lean_cols |= {col for col in c.referenced_cols() if col != "__sha1"}
+        lean_cols -= {conv_col, idx_col}
+
+        stage1 = work.select(
+            F.col(conv_col),
+            F.col(idx_col),
+            *[F.col(c) for c in sorted(lean_cols)],
+            turn_sha1(conv_col, idx_col, self.hash_col).alias("__sha1"),
+            self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
+            F.array(*[fail_struct(c) for c in row_checks]).alias("__rowfails"),
+        )
+
+        if window_checks and shuffle_for_windows:
+            stage1 = stage1.repartition(F.col(conv_col))
+
+        # window expressions must be projected BEFORE the generator consumes
+        # them (Spark can't evaluate windows inside explode's child expr)
+        carries = [F.col(c) for c in carry_cols]
+        if window_checks:
+            stage2 = stage1.select(
                 F.col(conv_col),
                 F.col(idx_col),
-                F.col(self.hash_col),
-                self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
-                F.array(*fails).alias("__fails"),
+                *carries,
+                F.col("__sha1"),
+                F.col("bucket_id"),
+                F.concat(F.col("__rowfails"), F.array(*[fail_struct(c) for c in window_checks])).alias("__fails"),
             )
-            .select(
-                conv_col,
-                idx_col,
-                self.hash_col,
-                "bucket_id",
+        else:
+            stage2 = stage1.withColumnRenamed("__rowfails", "__fails")
+
+        exploded = (
+            stage2.select(
+                F.col(conv_col),
+                F.col(idx_col),
+                *carries,
+                F.col("__sha1"),
+                F.col("bucket_id"),
                 F.explode(F.filter(F.col("__fails"), lambda x: x.isNotNull())).alias("__f"),
             )
             .select(
@@ -135,16 +163,23 @@ class ValidationSuite:
                 F.col(idx_col).alias("turn_idx"),
                 F.col("__f.column").alias("column"),
                 F.col("__f.reason").alias("reason"),
-                turn_sha1(conv_col, idx_col, self.hash_col).alias("text_sha1"),
+                F.col("__sha1").alias("text_sha1"),
                 F.col("bucket_id"),
+                *carries,
             )
         )
         return exploded
 
     # ------------------------------------------------------------------
     def run(self, df: DataFrame) -> ValidationResult:
+        """Violations are persisted (MEMORY_AND_DISK): they are small relative
+        to the input, and both the verdict matrix and any sink consume them —
+        without the persist, materializing verdicts would re-run the whole
+        scan+shuffle pipeline a second time."""
+        from pyspark.storagelevel import StorageLevel
+
         conv_col = self.key_cols[0]
-        violations = self.violations(df)
+        violations = self.violations(df).persist(StorageLevel.MEMORY_AND_DISK)
 
         bucket_counts = df.groupBy(self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id")).agg(
             F.count(F.lit(1)).alias("rows_checked")

@@ -1,0 +1,80 @@
+"""Sources: schema-enforced reads + dialect classification (S1/S2/S9).
+
+The reference sniffs 11 magic bytes and dispatches to a per-format parser
+(tag.go:30-66) and can classify without parsing (Identify, id.go:9-81).
+Table-scale equivalents:
+
+  read_transcripts      schema-checked scan (parquet now, Iceberg behind a
+                        format flag — same call shape as spark.read.format)
+  classify_dialect      cheap pre-pass over discriminator columns deciding
+                        which constraint suite applies per conversation
+  dialect_histogram     groupBy over the classifier — the plan-time branch
+                        (submit per-dialect jobs after inspecting it)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tag_spark.schema import TRANSCRIPT_SCHEMA
+
+
+class SchemaMismatchError(ValueError):
+    pass
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = True) -> DataFrame:
+    """Scan with the canonical schema enforced. In strict mode a missing or
+    wrongly-typed column aborts the whole read — the engine analog of the
+    reference's abort-class header errors (id3v2.go:249-251). Extra columns
+    are tolerated and dropped (skip-unknown-frame semantics,
+    id3v2.go:395-396)."""
+    df = spark.read.format(fmt).load(path)
+    expected = {f.name: f.dataType.simpleString() for f in TRANSCRIPT_SCHEMA.fields}
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in expected if c not in actual]
+    wrong = {c: (expected[c], actual[c]) for c in expected if c in actual and actual[c] != expected[c]}
+    if strict and (missing or wrong):
+        raise SchemaMismatchError(f"missing={missing} wrong_types={wrong}")
+    return df.select(*[F.col(c).cast(expected[c]).alias(c) for c in expected if c in actual])
+
+
+def classify_dialect(df: DataFrame) -> Column:
+    """Per-row dialect from discriminator columns — the Identify analog
+    (id.go:21-59's magic switch), pure Catalyst:
+
+      v2-tooluse   any tool usage (richer vocabulary applies)
+      v1-chat      plain user/assistant alternation
+      system-led   opening system turn
+      empty        single empty turn (the without_tags corpus analog)
+    """
+    return (
+        F.when(F.col("tool").isNotNull(), F.lit("v2-tooluse"))
+        .when((F.col("turn_idx") == 0) & (F.col("role") == "system"), F.lit("system-led"))
+        .when(F.coalesce(F.length("text"), F.lit(0)) == 0, F.lit("empty"))
+        .otherwise(F.lit("v1-chat"))
+    )
+
+
+def conversation_dialects(df: DataFrame) -> DataFrame:
+    """Conversation-level dialect: 'empty' when every turn's text is empty
+    (the without_tags corpus analog, tag_test.go:66-72), else the strongest
+    row-level signal (tooluse > system-led > chat). One small agg."""
+    rank = (
+        F.when(classify_dialect(df) == "v2-tooluse", 3)
+        .when(classify_dialect(df) == "system-led", 2)
+        .when(classify_dialect(df) == "v1-chat", 1)
+        .otherwise(0)
+    )
+    names = F.array(F.lit("empty"), F.lit("v1-chat"), F.lit("system-led"), F.lit("v2-tooluse"))
+    return df.groupBy("conv_id").agg(
+        F.when(F.max(F.coalesce(F.length("text"), F.lit(0))) == 0, F.lit("empty"))
+        .otherwise(F.element_at(names, F.max(rank).cast("int") + 1))
+        .alias("dialect")
+    )
+
+
+def dialect_histogram(df: DataFrame) -> DataFrame:
+    """The 11-byte sniff at table scale: one aggregate, no parsing."""
+    return conversation_dialects(df).groupBy("dialect").agg(F.count(F.lit(1)).alias("n_convs"))

@@ -1,0 +1,111 @@
+"""Scalar decode-helper analogs (SURVEY.md §2.7) — table-driven like the
+reference's util_test.go / id3v2metadata_test.go."""
+
+from pyspark.sql import functions as F
+
+from tag_spark.functions import parsing as P
+
+
+def _one(spark, col, value, typ="string"):
+    df = spark.createDataFrame([(value,)], f"v {typ}")
+    return df.select(col.alias("out")).first()["out"]
+
+
+def test_trim_nuls(spark):
+    assert _one(spark, P.trim_nuls("v"), "  hi\x00\x00 ") == "hi"
+    assert _one(spark, P.trim_nuls("v"), "\x00") == ""
+
+
+def test_parse_x_of_n_cases(spark):
+    # mirrors id3v2metadata_test.go:9-29 table
+    cases = {
+        "1/10": (1, 10),
+        "1 of 10": (None, None),  # junk → nulls (Go ignores Atoi error)
+        " 3 / 6 ": (3, 6),
+        "7": (7, None),
+        "": (None, None),
+        "/5": (None, 5),
+    }
+    for s, (x, n) in cases.items():
+        got = _one(spark, P.parse_x_of_n("v"), s)
+        assert (got["x"], got["n"]) == (x, n), s
+
+
+def test_parse_year_fallbacks(spark):
+    cases = {
+        "1984": 1984,
+        "2001-07-27": 2001,
+        "1997-04": 1997,
+        "2020-junk": 2020,
+        "notayear": None,
+        "": None,
+    }
+    for s, want in cases.items():
+        assert _one(spark, P.parse_year("v"), s) == want, s
+
+
+def test_decode_text_dispatch(spark):
+    df = spark.createDataFrame(
+        [(b"caf\xe9", 0), ("café".encode("utf-16"), 1), ("café".encode("utf-16-be"), 2), ("café".encode("utf-8"), 3), (b"plain", 9)],
+        "v binary, enc int",
+    )
+    got = [r[0] for r in df.select(P.decode_text("v", "enc")).collect()]
+    assert got == ["café", "café", "café", "café", "plain"]
+
+
+def test_utf16_parity_and_bom(spark):
+    assert _one(spark, P.utf16_parity_ok("v"), b"ab", "binary") is True
+    assert _one(spark, P.utf16_parity_ok("v"), b"abc", "binary") is False
+    assert _one(spark, P.bom_byte_order("v"), b"\xfe\xffxx", "binary") == "BE"
+    assert _one(spark, P.bom_byte_order("v"), b"\xff\xfexx", "binary") == "LE"
+    assert _one(spark, P.bom_byte_order("v"), b"none", "binary") is None
+
+
+def test_split_with_repair(spark):
+    got = _one(spark, P.split_with_repair("v"), "desc\x00data")
+    assert got == ["desc", "data"]
+    got = _one(spark, P.split_with_repair("v"), "desc\x00\x00data")
+    assert got == ["desc", "data"]
+
+
+def test_expand_indexed_vocab(spark):
+    vocab = ["Blues", "Classic Rock", "Country"]
+    cases = {
+        "(0)": "Blues",
+        "(1)Flux": "Classic RockFlux",
+        "(2)(0)": "CountryBlues",  # fixpoint: two rounds
+        "((I can be your hero": "(I can be your hero",  # unescape
+        "(99)": "(99)",  # out of range → kept
+        "plain": "plain",
+    }
+    for s, want in cases.items():
+        assert _one(spark, P.expand_indexed_vocab("v", vocab), s) == want, s
+
+
+def test_int_folds(spark):
+    # synchsafe: 0x01 0x7f -> 0b0000001_1111111 = 255
+    assert _one(spark, P.synchsafe_to_int("v"), b"\x01\x7f", "binary") == 255
+    assert _one(spark, P.be_bytes_to_int("v"), b"\x01\x00", "binary") == 256
+    assert _one(spark, P.be_bytes_to_int("v"), b"", "binary") == 0
+
+
+def test_bit_and_magic(spark):
+    df = spark.createDataFrame([(5,)], "v int")
+    assert df.select(P.test_bit("v", 0).alias("b")).first()["b"] is True
+    assert df.select(P.test_bit("v", 1).alias("b")).first()["b"] is False
+    assert _one(spark, P.has_magic("v", b"fLaC"), b"fLaCxxxx", "binary") is True
+    assert _one(spark, P.has_magic("v", b"fLaC"), b"OggSxxxx", "binary") is False
+
+
+def test_mime_bimap(spark):
+    assert _one(spark, P.ext_to_mime("v"), "JPG") == "image/jpeg"
+    assert _one(spark, P.ext_to_mime("v"), "png") == "image/png"
+    assert _one(spark, P.mime_to_ext("v"), "image/jpeg") == "jpeg"
+    assert _one(spark, P.ext_to_mime("v"), "tiff") is None
+
+
+def test_base64(spark):
+    import base64
+
+    payload = base64.b64encode(b"picture-bytes").decode()
+    assert bytes(_one(spark, P.decode_base64("v"), payload)) == b"picture-bytes"
