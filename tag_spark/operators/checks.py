@@ -231,7 +231,9 @@ class Unique(WindowCheck):
         return F.count(F.lit(1)).over(w) == 1
 
     def reason(self) -> Column:
-        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*[F.col(c).asc_nulls_last() for c in self.rank_by])
+        # default asc (NULLS FIRST) so the rank window's required ordering is
+        # byte-identical to the order-checks' sort and Spark plans ONE Sort
+        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*[F.col(c).asc() for c in self.rank_by])
         return F.concat(
             F.lit(f"duplicate key ({','.join(self.keys)}) rank="),
             (F.row_number().over(w) - 1).cast("string"),

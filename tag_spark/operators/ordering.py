@@ -96,8 +96,10 @@ def salted_order_violations(
 
     salted = base.unionByName(carries)
 
-    # phase 3: windows over (conv, block) — bounded task size
-    w = Window.partitionBy("__conv", "__block").orderBy("__idx", "__carry")
+    # phase 3: windows over (conv, block) — bounded task size. The orderBy
+    # mirrors the unsalted suite's unified (idx, ts, sha1) ordering so dup
+    # ties resolve identically; carry rows sort last within a tie.
+    w = Window.partitionBy("__conv", "__block").orderBy("__idx", "__ts", "__sha1", "__carry")
     prev_idx = F.lag("__idx").over(w)
     prev_ts = F.lag("__ts").over(w)
     # duplicate counts must ignore carries (a carry duplicates its source key)
@@ -105,9 +107,7 @@ def salted_order_violations(
     dup_n = F.sum(F.when(~F.col("__carry"), 1).otherwise(0)).over(wk)
     # carries share their source row's (conv, idx): sort them last so real
     # rows' dup ranks are unaffected by the injected boundary copies
-    wko = Window.partitionBy("__conv", "__idx").orderBy(
-        "__carry", F.col("__ts").asc_nulls_last(), F.col("__sha1").asc_nulls_last()
-    )
+    wko = Window.partitionBy("__conv", "__idx").orderBy("__carry", "__ts", "__sha1")
     dup_rank = F.row_number().over(wko) - 1
 
     # true global first row = first row of the conv's first block: no carry

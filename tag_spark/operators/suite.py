@@ -240,10 +240,14 @@ def default_transcript_suite(dim_role: DataFrame, dim_tool: DataFrame, text_cap:
             # vocabulary referential checks (validID3Frame analog)
             RefIntegrity("role_in_vocab", SEV_ERROR, col="role", dim=dim_role, allow_null=True),
             RefIntegrity("tool_in_vocab", SEV_ERROR, col="tool", dim=dim_tool, allow_null=True),
-            # set-level (one conv_id shuffle shared by all three)
+            # set-level: one conv_id shuffle AND one sort shared by all three
+            # — every window's required ordering is a prefix of
+            # (conv_id, turn_idx, ts, __sha1), so Spark plans a single Sort;
+            # the extended orderBy also makes duplicate-turn_idx tie handling
+            # deterministic (plain orderBy(turn_idx) leaves lag() ambiguous)
             Unique("unique_turn", SEV_ERROR, keys=("conv_id", "turn_idx")),
-            ContiguousIndex("turn_contiguous", SEV_ERROR),
-            Monotonic("ts_monotone", SEV_ERROR, col="ts"),
+            ContiguousIndex("turn_contiguous", SEV_ERROR, order_by=("turn_idx", "ts", "__sha1")),
+            Monotonic("ts_monotone", SEV_ERROR, col="ts", order_by=("turn_idx", "ts", "__sha1")),
         ]
     )
 
