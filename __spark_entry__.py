@@ -204,6 +204,117 @@ def _doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(F.floor(F.length("text") / 100).cast("long").alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's full loop on events: per-(bucket, check) verdict matrix."""
+    from tag_spark.operators.generic_suites import events_suite
+
+    res = events_suite().run(_t(spark, sf_dir, "events"))
+    return res.verdicts.select(
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        "check_id",
+        "verdict",
+        "rows_checked",
+        "rows_violating",
+    )
+
+
+_EVENTS_VERDICTS_SQL = """
+WITH viol AS (
+    SELECT 'event_type_in_vocab' AS check_id, user_id % 64 AS bucket_id FROM events
+    WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+  UNION ALL
+    SELECT 'value_nonneg', user_id % 64 FROM events WHERE value IS NOT NULL AND value < 0
+  UNION ALL
+    SELECT 'purchase_value_positive', user_id % 64 FROM events
+    WHERE event_type = 'purchase' AND NOT coalesce(value > 0, FALSE)
+  UNION ALL
+    SELECT 'unique_event_id', user_id % 64 FROM (
+        SELECT user_id, count(*) OVER (PARTITION BY event_id) AS c FROM events) WHERE c > 1
+  UNION ALL
+    SELECT 'ts_monotone', user_id % 64 FROM (
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM events
+    ) WHERE prev IS NOT NULL AND ts IS NOT NULL AND ts < prev
+  UNION ALL
+    SELECT 'event_id_not_null', user_id % 64 FROM events WHERE event_id IS NULL
+  UNION ALL
+    SELECT 'ts_not_null', user_id % 64 FROM events WHERE ts IS NULL
+),
+buckets AS (SELECT user_id % 64 AS bucket_id, count(*) AS rows_checked FROM events GROUP BY 1),
+checks(check_id, severity) AS (VALUES
+  ('event_id_not_null','error'), ('ts_not_null','error'), ('event_type_in_vocab','error'),
+  ('value_nonneg','error'), ('purchase_value_positive','warn'), ('unique_event_id','error'),
+  ('ts_monotone','error')),
+vc AS (SELECT check_id, bucket_id, count(*) AS rows_violating FROM viol GROUP BY 1, 2)
+SELECT CAST(b.bucket_id AS BIGINT) AS bucket_id, c.check_id,
+  CASE WHEN coalesce(vc.rows_violating, 0) = 0 THEN 'PASS'
+       WHEN c.severity = 'warn' THEN 'WARN' ELSE 'FAIL' END AS verdict,
+  CAST(b.rows_checked AS BIGINT) AS rows_checked,
+  CAST(coalesce(vc.rows_violating, 0) AS BIGINT) AS rows_violating
+FROM buckets b CROSS JOIN checks c
+LEFT JOIN vc ON vc.bucket_id = b.bucket_id AND vc.check_id = c.check_id
+"""
+
+
+def _doc_len_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift module's fixed-layout clamped histogram (PSI input)."""
+    from tag_spark.operators.drift import histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return histogram(d, F.length("text"), "doc_len", 0.0, 500.0, 10).select(
+        "metric", F.col("bucket").cast("long").alias("bucket"), F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "count"
+    )
+
+
+_DOC_LEN_DRIFT_SQL = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor(length(text) / 50.0), 0), 9) AS BIGINT) AS bucket
+  FROM documents WHERE length(text) IS NOT NULL)
+SELECT 'doc_len' AS metric, bucket,
+  round(bucket * 50.0, 6) AS lo, round((bucket + 1) * 50.0, 6) AS hi,
+  CAST(count(*) AS BIGINT) AS count
+FROM b GROUP BY bucket
+"""
+
+
+def _doc_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tag_spark.operators.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("total_tokens_bpe"),
+        F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
+    )
+
+
+_DOC_TOKEN_TOTALS_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE greatest(
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                CAST(ceil(length(trim(text)) / 4.0) AS BIGINT)) END AS n_bpe
+  FROM documents)
+SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_tokens_bpe,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM t
+"""
+
+
+def _conversation_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 ordered per-conversation digest over events-as-conversations
+    (sha1 unavailable in DuckDB → rows-only check; exactness covered by
+    tests/test_hashing.py)."""
+    from tag_spark.functions.hashing import conversation_digest
+
+    e = _t(spark, sf_dir, "events")
+    return conversation_digest(e, conv_col="user_id", idx_col="event_id", text_col="props")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -339,7 +450,8 @@ def _minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correctness covered by tests/test_dedup.py against exact Jaccard
     from tag_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+    # 32 bands x 2 rows: P(candidate | j=0.3) ~ 0.95 (16x4 targets j>=0.6)
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3, bands=32)
 
 
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +475,11 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_violations": _events_violations,
+        "events_verdicts": _events_verdicts,
         "lineitem_violations": _lineitem_violations,
+        "doc_len_drift_histogram": _doc_len_drift_histogram,
+        "doc_token_totals": _doc_token_totals,
+        "conversation_digests": _conversation_digests,
         "dialect_histogram": _dialect_histogram,
         "unique_event_id_summary": _unique_event_id_summary,
         "ref_orders_customer_orphans": _ref_orders_customer_orphans,
@@ -388,7 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "events_violations": _EVENTS_VIOLATIONS_SQL,
+        "events_verdicts": _EVENTS_VERDICTS_SQL,
         "lineitem_violations": _LINEITEM_VIOLATIONS_SQL,
+        "doc_len_drift_histogram": _DOC_LEN_DRIFT_SQL,
+        "doc_token_totals": _DOC_TOKEN_TOTALS_SQL,
+        # conversation_digests: sha1 not available in DuckDB → rows-only
         "dialect_histogram": "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
         "unique_event_id_summary": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,"

@@ -109,6 +109,22 @@ def main() -> int:
 
     bench("drift_check", run_drift)
 
+    # training-data pipeline operators over the sf documents/embeddings
+    from tag_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
+    from tag_spark.operators.similarity import cosine_topk, lsh_ann_topk
+    from tag_spark.operators.text import profile_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    bench("text_profile", lambda: force(profile_documents(docs)))
+    bench("dedup_exact", lambda: force(exact_dedup(docs)))
+    bench("dedup_minhash_lsh", lambda: force(minhash_lsh_pairs(docs, threshold=0.3)))
+    bench("dedup_simhash", lambda: force(simhash(docs)))
+    bench("ann_exact_topk", lambda: cosine_topk(emb, qvec, k=10).collect() and None)
+    bench("ann_lsh_topk", lambda: lsh_ann_topk(emb, qvec, k=10, n_planes=8, n_tables=8).collect() and None)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "validation+analytics suite wall time",

@@ -119,17 +119,33 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 64, seed: int = 42) -> DataFrame:
-    """num_hashes MinHash values per doc, all inside one select: the i-th
-    hash function is xxhash64(shingle, i, seed); min over the shingle array
-    via higher-order functions (no explode, no shuffle)."""
-    sh = word_shingles(text_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i, F.lit(seed)))),
+    """num_hashes MinHash values per doc. Shape: explode distinct shingles
+    once, then num_hashes partial-aggregated ``min(xxhash64(shingle, i))``
+    in ONE groupBy — the i-th hash function is xxhash64(shingle, i, seed).
+
+    (A pure higher-order-function formulation without the explode looks
+    tempting, but Catalyst's CollapseProject inlines the shingle-array
+    expression into every one of the 64 lambdas — measured 100x slower.
+    The explode+partial-agg plan shuffles only (id, 64 longs) per doc.)"""
+    shingled = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh")).select(
+        "id", F.pmod(F.xxhash64(F.col("sh"), F.lit(seed)), F.lit(1 << 31)).alias("hb")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), F.size(sh).alias("n_shingles")).filter(
-        F.col("n_shingles") > 0
-    )
+
+    # universal-hashing family: h_i = (A_i * hb + B_i) mod 2^61-1 — one
+    # string hash per shingle, then 64 cheap multiply-adds instead of 64
+    # full string hashes. 31-bit hb x 31-bit A stays under 2^62, so ANSI
+    # mode (which throws on long overflow) is safe.
+    def _mix(i: int, salt: int) -> int:
+        z = (i * 0x9E3779B97F4A7C15 + salt * 0xBF58476D1CE4E5B9 + seed) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return int(z >> 33) | 1  # 31-bit odd
+
+    aggs = [
+        F.min(F.pmod(F.col("hb") * F.lit(_mix(i, 1)) + F.lit(_mix(i, 2)), F.lit((1 << 61) - 1))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"), *aggs)
+    return wide.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"), "n_shingles")
 
 
 def minhash_lsh_pairs(
@@ -203,26 +219,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed:
     64-bit loop both unroll into higher-order array ops (no shuffle)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     tokens = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
-    # votes[b] = Σ tokens (bit b set ? +1 : -1); shift amounts must be Python
-    # ints in PySpark, so the 64-bit loop unrolls into one static expression
-    zeros = F.array(*[F.lit(0) for _ in range(64)])
-    votes = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int") for b in range(64)]),
-            lambda a, v: a + v,
-        ),
+    # explode + 64 partial-aggregated bit votes (a higher-order-function
+    # formulation re-inlines the vote array into all 64 bit extractions —
+    # same CollapseProject pathology as minhash_signatures, measured ~50x)
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t")).withColumn(
+        "h", F.xxhash64(F.col("t"), F.lit(seed))
     )
+    votes = [
+        F.sum((F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")).alias(f"v{b}")
+        for b in range(64)
+    ]
+    wide = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"), *votes)
     sim = None
     for b in range(64):
-        term = F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim.bitwiseOR(term)
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"), F.size(tokens).alias("n_tokens"))
+    return wide.select("id", sim.alias("simhash"), "n_tokens")
 
 
 def simhash_pairs(
