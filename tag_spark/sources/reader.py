@@ -24,6 +24,24 @@ class SchemaMismatchError(ValueError):
     pass
 
 
+def open_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Open an input by reference: an Iceberg table name (catalog.db.table)
+    when the Iceberg runtime is on the classpath, else a parquet path.
+    This sandbox ships no iceberg-spark-runtime jar, so the parquet branch
+    is the tested one; in production `spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>` plus the
+    catalog confs makes the first branch live (snapshot ids then feed
+    CheckpointManifest.snapshot_id for lineage pinning)."""
+    if "/" not in ref:
+        try:
+            return spark.read.format("iceberg").load(ref)
+        except Exception as e:  # jar not present / not a table
+            raise ValueError(
+                f"'{ref}' looks like a table name but the Iceberg runtime is unavailable: {e}"
+            ) from e
+    return spark.read.parquet(ref)
+
+
 def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = True) -> DataFrame:
     """Scan with the canonical schema enforced. In strict mode a missing or
     wrongly-typed column aborts the whole read — the engine analog of the
