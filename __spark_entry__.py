@@ -305,6 +305,76 @@ FROM t
 """
 
 
+def _transcript_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core engine on its native input: deterministic synthetic
+    transcripts (seed 42) through the full 15-check suite, stable-ordered.
+    sha1/xxhash based → rows-only for the driver; byte-for-byte pinning is
+    tests/test_golden.py."""
+    from tag_spark.generate import dim_role, dim_tool, generate_transcripts
+    from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
+
+    t = generate_transcripts(spark, n_convs=400, seed=42)
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    return ValidationSuite.stable_violations(suite.violations(t))
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join analytics breadth (lineitem ⋈ orders ⋈ customer ⋈ nation):
+    big-big sort-merge joins + broadcast dims, decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1.0).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))).alias("rev")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def _events_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-normalization surface over events: alias-folded event_type,
+    trimmed props, epoch-us ts — the Metadata-interface analog phrased on an
+    oracle-checkable table."""
+    from tag_spark.operators.canonical import _alias_fold
+
+    e = _t(spark, sf_dir, "events")
+    etype = _alias_fold(F.col("event_type"), {"click": "click", "tap": "click", "pageview": "view"})
+    return e.select(
+        "event_id",
+        etype.alias("event_type_norm"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value"), 6).alias("value_r"),
+    )
+
+
+_EVENTS_CANONICAL_SQL = """
+WITH folded AS (
+  SELECT event_id, lower(trim(event_type)) AS et, epoch_us(ts) AS ts_us, round(value, 6) AS value_r
+  FROM events)
+SELECT event_id,
+  CASE et WHEN 'tap' THEN 'click' WHEN 'pageview' THEN 'view' ELSE et END AS event_type_norm,
+  ts_us, value_r
+FROM folded
+"""
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def _conversation_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 ordered per-conversation digest over events-as-conversations
     (sha1 unavailable in DuckDB → rows-only check; exactness covered by
@@ -480,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_drift_histogram": _doc_len_drift_histogram,
         "doc_token_totals": _doc_token_totals,
         "conversation_digests": _conversation_digests,
+        "transcript_violations": _transcript_violations,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_canonical": _events_canonical,
         "dialect_histogram": _dialect_histogram,
         "unique_event_id_summary": _unique_event_id_summary,
         "ref_orders_customer_orphans": _ref_orders_customer_orphans,
@@ -508,7 +581,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_violations": _LINEITEM_VIOLATIONS_SQL,
         "doc_len_drift_histogram": _DOC_LEN_DRIFT_SQL,
         "doc_token_totals": _DOC_TOKEN_TOTALS_SQL,
-        # conversation_digests: sha1 not available in DuckDB → rows-only
+        # conversation_digests / transcript_violations: sha1+xxhash64 based →
+        # rows-only (byte-for-byte pinning lives in tests/test_golden.py)
+        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "events_canonical": _EVENTS_CANONICAL_SQL,
         "dialect_histogram": "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
         "unique_event_id_summary": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,"

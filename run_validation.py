@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--resume", action="store_true", help="skip buckets already completed in the manifest")
     p.add_argument("--stats", action="store_true", help="also collect per-bucket column stats")
+    p.add_argument(
+        "--salt-block-size",
+        type=int,
+        default=None,
+        help="run ordering checks through the two-phase salted window with this block size "
+        "(bounds task size when single conversations are huge; output is byte-identical)",
+    )
     args = p.parse_args(argv)
 
     from tag_spark.session import get_spark
@@ -54,7 +61,25 @@ def main(argv: list[str] | None = None) -> int:
         df = manifest.filter_pending(df)
         print(f"resume: skipping {len(done)} completed buckets", flush=True)
 
-    res = suite.run(df)
+    if args.salt_block_size:
+        # hot-conversation mode: row-level checks via the suite (windows
+        # removed), ordering checks via the bounded-task salted window
+        from tag_spark.operators.checks import WindowCheck
+        from tag_spark.operators.ordering import salted_order_violations
+
+        from pyspark.storagelevel import StorageLevel
+
+        row_suite = ValidationSuite(
+            [c for c in suite.checks if not isinstance(c, WindowCheck)],
+            n_buckets=suite.n_buckets,
+            key_cols=suite.key_cols,
+            hash_col=suite.hash_col,
+        )
+        salted = salted_order_violations(df, block_size=args.salt_block_size)
+        combined = row_suite.violations(df).unionByName(salted).persist(StorageLevel.MEMORY_AND_DISK)
+        res = row_suite.assemble(df, combined, extra_check_ids=["unique_turn", "turn_contiguous", "ts_monotone"])
+    else:
+        res = suite.run(df)
 
     ValidationSuite.stable_violations(res.violations).write.mode("overwrite").parquet(f"{args.output}/violations")
     res.verdicts.orderBy("bucket_id", "check_id").write.mode("overwrite").parquet(f"{args.output}/verdicts")
