@@ -128,6 +128,42 @@ def lsh_ann_topk(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: vectors sharing a full
+    random-hyperplane signature in any of n_tables tables become candidates
+    (equi-join per table on the signature — bucket sizes, not n², bound the
+    join), then exact cosine verifies. For cosine ≥ 0.9 the angle is ≤ 26°,
+    so P(same 8-bit signature) = (1-26/180)^8 ≈ 0.28 per table →
+    1-(1-0.28)^6 ≈ 0.86 recall with 6 tables; raise n_tables for more."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        sig = base.select("id", "v", lsh_signature(F.col("v"), dim, n_planes, seed + t * 101).alias("sig"))
+        a, b = sig.alias("a"), sig.alias("b")
+        part = a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id"))).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF index build: centroids = deterministic hash-sample of the corpus
     (ids with xxhash64(id, seed) smallest — reproducible 'random' sample),

@@ -43,3 +43,20 @@ def test_cosine_self_join_threshold(emb):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cos_sim"] >= 0.9
+
+
+def test_lsh_neardup_pairs_recall(emb, spark):
+    from tag_spark.operators.similarity import lsh_neardup_pairs
+
+    # exact baseline at a modest threshold so some pairs exist on this
+    # corpus (max pair cosine ~0.51). At cos=0.35 the angle is ~69.5°, so
+    # P(bit agree)=0.614: 4 planes x 16 tables → expected recall
+    # 1-(1-0.614^4)^16 ≈ 0.91. Real near-dup thresholds (≥0.9) need far
+    # fewer tables — see lsh_neardup_pairs docstring.
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_self_join(emb, threshold=0.35).collect()}
+    approx_df = lsh_neardup_pairs(emb, dim=64, threshold=0.35, n_planes=4, n_tables=16)
+    approx = {(r["id_a"], r["id_b"]) for r in approx_df.collect()}
+    # every reported pair is a TRUE pair (verification step is exact)
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.7, (len(approx), len(exact))
