@@ -293,24 +293,43 @@ class RefIntegrity(Check):
     check (validID3Frame, id3v2frames.go:289-296). Compiled by the suite to
     ``df.join(broadcast(dim), on, 'left')`` with a found-marker so it fuses
     with the row-level violation array (still a broadcast hash join, no extra
-    shuffle, and the anti-semantics fall out of marker-is-null)."""
+    shuffle, and the anti-semantics fall out of marker-is-null).
+
+    ``version_col`` reproduces the reference's VERSIONED vocabularies (the
+    per-version frame dictionaries id3v22Frames/id3v23Frames/id3v24Frames,
+    id3v2frames.go:21-287): the dim then carries (version, value) pairs and
+    a value is valid only for the versions that declare it."""
 
     col: str = ""
     dim: DataFrame | None = None
     dim_col: str | None = None
     allow_null: bool = True
+    version_col: str | None = None
+    dim_version_col: str | None = None
 
     def marker(self) -> str:
         return f"__ref_ok_{self.check_id}"
 
     def prejoin(self, df: DataFrame) -> DataFrame:
         dim_col = self.dim_col or self.col
-        dim = self.dim.select(F.col(dim_col).alias(self.col)).dropDuplicates([self.col]).withColumn(self.marker(), F.lit(True))
-        return df.join(F.broadcast(dim), on=self.col, how="left")
+        on = [self.col]
+        sel = [F.col(dim_col).alias(self.col)]
+        if self.version_col:
+            sel.append(F.col(self.dim_version_col or self.version_col).alias(self.version_col))
+            on.append(self.version_col)
+        dim = self.dim.select(*sel).dropDuplicates(on).withColumn(self.marker(), F.lit(True))
+        return df.join(F.broadcast(dim), on=on, how="left")
 
     def predicate(self, df: DataFrame) -> Column:
         c = F.col(self.col)
         return (c.isNull() & F.lit(self.allow_null)) | F.col(self.marker()).isNotNull()
 
     def reason(self) -> Column:
+        if self.version_col:
+            return F.concat(
+                F.lit(f"{self.col} not declared for "),
+                F.coalesce(F.col(self.version_col), F.lit("<null>")),
+                F.lit(": "),
+                F.coalesce(F.col(self.col), F.lit("<null>")),
+            )
         return F.concat(F.lit(f"{self.col} not found in dimension: "), F.coalesce(F.col(self.col), F.lit("<null>")))
