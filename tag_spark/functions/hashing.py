@@ -16,15 +16,16 @@ _SEP = "\x1f"
 
 
 def turn_sha1(conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text") -> Column:
-    """C1: sha1(conv_id || 0x1f || turn_idx || 0x1f || text); null text hashes
-    as the literal '<null>' so violations on null rows still carry a digest.
+    """C1: sha1(conv_id || 0x1f || turn_idx || 0x1f || text); every NULL
+    field hashes as the literal '<null>' — concat_ws silently DROPS null
+    arguments, which would make (NULL, 1, t) and ('1', NULL, t) collide.
     Analog: tag.Sum dispatch (sum.go:14-44)."""
     return F.sha1(
         F.encode(
             F.concat_ws(
                 _SEP,
-                F.col(conv_col),
-                F.col(idx_col).cast("string"),
+                F.coalesce(F.col(conv_col).cast("string"), F.lit("<null>")),
+                F.coalesce(F.col(idx_col).cast("string"), F.lit("<null>")),
                 F.coalesce(F.col(text_col), F.lit("<null>")),
             ),
             "UTF-8",

@@ -123,9 +123,11 @@ def expand_indexed_vocab(col: Column | str, vocab: list[str], max_rounds: int = 
     out = _c(col)
     for _ in range(max_rounds):
         idx = F.regexp_extract(out, r"\((\d+)\)", 1)
+        # try_cast: a hostile >9-digit index must be tolerated (kept
+        # verbatim), not crash the job under ANSI mode
         replacement = F.when(
-            (idx != "") & (idx.cast("int") < len(vocab)),
-            F.element_at(arr, idx.cast("int") + 1),
+            (idx != "") & (idx.try_cast("int") < len(vocab)),
+            F.element_at(arr, idx.try_cast("int") + 1),
         )
         out = F.when(
             replacement.isNotNull(),

@@ -90,11 +90,15 @@ def ngram_jaccard_pairs(
     counts → Jaccard from |A|+|B|-∩. Shuffles on shingle then on the pair
     key; no cartesian anywhere."""
     shingled = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh"))
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if max_shingle_freq is not None:
         freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
         shingled = shingled.join(freq.select("sh"), "sh", "inner")
+
+    # sizes AFTER the frequency cap: jaccard must be consistent over the
+    # capped shingle universe, or identical docs sharing only boilerplate
+    # shingles get n_inter=0 against full n_a/n_b and are silently missed
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -104,8 +104,12 @@ class ValidationSuite:
             work = c.prejoin(work)
 
         def fail_struct(c: Check) -> Column:
+            # a row passes only when the predicate is literally TRUE: a NULL
+            # predicate (e.g. Conditional's `then` over NULL operands, or
+            # allow_null=False bounds over NULL values) is a violation, not a
+            # silent pass — matching SQL-oracle NOT coalesce(pred, FALSE)
             return F.when(
-                ~c.predicate(work),
+                ~F.coalesce(c.predicate(work), F.lit(False)),
                 F.struct(
                     F.lit(c.check_id).alias("check_id"),
                     F.lit(c.severity).alias("severity"),

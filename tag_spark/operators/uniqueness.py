@@ -48,7 +48,10 @@ def check_uniqueness(df: DataFrame, keys: list[str], rsd: float = 0.01, force_ex
         return UniquenessReport(n_rows, approx, True, None)
 
     w = Window.partitionBy(*[F.col(k) for k in keys])
-    wo = w.orderBy(F.lit(1))
+    # deterministic rank: tie-break on a hash of the full row, so dup_rank
+    # is stable across runs/parallelism (orderBy(lit(1)) would be arbitrary)
+    row_h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    wo = w.orderBy(row_h)
     dups = (
         df.withColumn("__grp", F.count(F.lit(1)).over(w))
         .filter(F.col("__grp") > 1)

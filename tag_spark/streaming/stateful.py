@@ -59,15 +59,19 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
         idx = pdf["turn_idx"].to_numpy()
         ts = pdf["ts_epoch"].to_numpy()
         for i in range(len(pdf)):  # per-turn loop bounded by batch size
-            cur = int(idx[i])
-            if cur > max_idx + 1:
-                n_gaps += 1
-            if ts[i] is not None and ts[i] < last_ts:
-                n_regr += 1
-            max_idx = max(max_idx, cur)
-            if ts[i] is not None and ts[i] == ts[i]:  # not NaN
-                last_ts = max(last_ts, float(ts[i]))
             n_turns += 1
+            # nullable longs arrive as float64 NaN through Arrow — a NULL
+            # turn_idx is counted but excluded from ordering state (the
+            # batch suite flags it as a NotNull violation); int(NaN) raises
+            if not pd.isna(idx[i]):
+                cur = int(idx[i])
+                if cur > max_idx + 1:
+                    n_gaps += 1
+                max_idx = max(max_idx, cur)
+            if not pd.isna(ts[i]):
+                if float(ts[i]) < last_ts:
+                    n_regr += 1
+                last_ts = max(last_ts, float(ts[i]))
 
     state.update((int(max_idx), float(last_ts), int(n_turns), int(n_gaps), int(n_regr)))
     yield pd.DataFrame(
