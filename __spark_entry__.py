@@ -375,6 +375,46 @@ GROUP BY n_name
 """
 
 
+def _stats_lineitem_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A6 per-bucket stats collector itself (collect_stats_builtin),
+    projected to the exactly-comparable fields (HLL n_distinct and GK
+    quantiles are engine sketches — cross-checked engine-vs-engine in
+    tests/test_stats.py instead)."""
+    from tag_spark.operators.generic_suites import mod_bucket
+    from tag_spark.operators.stats import collect_stats_builtin
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = collect_stats_builtin(li, ["l_extendedprice", "l_quantity"], n_buckets=8, bucket_fn=mod_bucket, bucket_col="l_orderkey")
+    return s.select(
+        F.col("bucket_id").cast("long").alias("bucket_id"),
+        "column",
+        "count",
+        "nulls",
+        F.round(F.col("min").cast("double"), 6).alias("min_v"),
+        F.round(F.col("max").cast("double"), 6).alias("max_v"),
+        F.round("mean", 6).alias("mean_v"),
+    )
+
+
+_STATS_LINEITEM_SQL = """
+WITH b AS (SELECT l_orderkey % 8 AS bucket_id, l_extendedprice, l_quantity FROM lineitem),
+u AS (
+  SELECT bucket_id, 'l_extendedprice' AS "column", count(*) AS count,
+         count(*) - count(l_extendedprice) AS nulls,
+         round(min(l_extendedprice), 6) AS min_v, round(max(l_extendedprice), 6) AS max_v,
+         round(avg(l_extendedprice), 6) AS mean_v
+  FROM b GROUP BY bucket_id
+  UNION ALL
+  SELECT bucket_id, 'l_quantity', count(*), count(*) - count(l_quantity),
+         round(min(l_quantity), 6), round(max(l_quantity), 6), round(avg(l_quantity), 6)
+  FROM b GROUP BY bucket_id
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id, "column", CAST(count AS BIGINT) AS count,
+       CAST(nulls AS BIGINT) AS nulls, min_v, max_v, mean_v
+FROM u
+"""
+
+
 def _conversation_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 ordered per-conversation digest over events-as-conversations
     (sha1 unavailable in DuckDB → rows-only check; exactness covered by
@@ -553,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_violations": _transcript_violations,
         "revenue_by_nation": _revenue_by_nation,
         "events_canonical": _events_canonical,
+        "stats_lineitem_buckets": _stats_lineitem_buckets,
         "dialect_histogram": _dialect_histogram,
         "unique_event_id_summary": _unique_event_id_summary,
         "ref_orders_customer_orphans": _ref_orders_customer_orphans,
@@ -585,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (byte-for-byte pinning lives in tests/test_golden.py)
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_canonical": _EVENTS_CANONICAL_SQL,
+        "stats_lineitem_buckets": _STATS_LINEITEM_SQL,
         "dialect_histogram": "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
         "unique_event_id_summary": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,"

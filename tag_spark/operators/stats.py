@@ -58,9 +58,12 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, (T.NumericType,))
 
 
-def collect_stats_builtin(df: DataFrame, cols: Iterable[str], n_buckets: int = N_BUCKETS) -> DataFrame:
+def collect_stats_builtin(
+    df: DataFrame, cols: Iterable[str], n_buckets: int = N_BUCKETS, bucket_fn=None, bucket_col: str = "conv_id"
+) -> DataFrame:
     """One aggregation job; all sketches are built-in and mergeable, so the
     plan is scan → partial agg → exchange(bucket_id) → final agg."""
+    bucket = (bucket_fn or bucket_expr)(bucket_col, n_buckets)
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     aggs = []
     for c in cols:
@@ -79,7 +82,7 @@ def collect_stats_builtin(df: DataFrame, cols: Iterable[str], n_buckets: int = N
                 else F.lit(None).cast("array<double>")
             ).alias(f"{c}__qs"),
         ]
-    wide = df.groupBy(bucket_expr(n_buckets=n_buckets).alias("bucket_id")).agg(*aggs)
+    wide = df.groupBy(bucket.alias("bucket_id")).agg(*aggs)
 
     # unpivot wide → long: one struct per column, explode (tiny frame by now)
     structs = [
