@@ -68,7 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         from tag_spark.operators.ordering import salted_order_violations
 
         from pyspark.storagelevel import StorageLevel
+        from tag_spark.operators.ordering import CHECKS as SALTED_CHECKS
 
+        window_checks = [c for c in suite.checks if isinstance(c, WindowCheck)]
+        # the salted implementation covers exactly the standard ordering
+        # checks; a suite with additional window checks must fail loudly
+        # rather than silently skipping them
+        uncovered = {c.check_id for c in window_checks} - set(SALTED_CHECKS)
+        if uncovered:
+            raise SystemExit(f"--salt-block-size cannot run window checks {sorted(uncovered)}")
         row_suite = ValidationSuite(
             [c for c in suite.checks if not isinstance(c, WindowCheck)],
             n_buckets=suite.n_buckets,
@@ -77,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         salted = salted_order_violations(df, block_size=args.salt_block_size)
         combined = row_suite.violations(df).unionByName(salted).persist(StorageLevel.MEMORY_AND_DISK)
-        res = row_suite.assemble(df, combined, extra_check_ids=["unique_turn", "turn_contiguous", "ts_monotone"])
+        res = row_suite.assemble(df, combined, extra_checks={c.check_id: c.severity for c in window_checks})
     else:
         res = suite.run(df)
 

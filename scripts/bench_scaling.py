@@ -40,7 +40,7 @@ TABLE = "transcripts_bucketed"
 
 DDL = f"""
 CREATE TABLE {TABLE} (
-  conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP_NTZ)
+  conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP)
 USING parquet
 CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) INTO 64 BUCKETS
 LOCATION '{WAREHOUSE}/{TABLE}'

@@ -64,12 +64,14 @@ def canonicalize_transcripts(df: DataFrame) -> DataFrame:
     text = trim_nuls(F.col("text"))
     out = df.select(
         F.col("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        # try_cast: dialect-TOLERANT means out-of-range/malformed inputs
+        # normalize to null (and get flagged by NotNull checks), never crash
+        F.col("turn_idx").try_cast("int").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.year("ts").alias("year"),
+        F.col("ts").try_cast("timestamp").alias("ts"),
+        F.year(F.col("ts").try_cast("timestamp")).alias("year"),
     )
     return out.withColumn("text_sha1", turn_sha1())
 
@@ -98,4 +100,15 @@ def extract_prefixed(
         resolved = F.coalesce(F.element_at(amap, stripped), stripped) if aliases else stripped
         return F.struct(resolved.alias("key"), e["value"].alias("value"))
 
-    return df.withColumn("extracted", F.map_from_entries(F.transform(entries, fold)))
+    resolved = F.transform(entries, fold)
+    # two raw keys may alias to the same resolved key; map_from_entries
+    # throws DUPLICATED_MAP_KEY, so keep the LAST occurrence (hostile input
+    # must never crash the job — fuzz contract). O(n²) over tiny maps.
+    deduped = F.filter(
+        resolved,
+        lambda e, i: ~F.exists(
+            F.slice(resolved, i + 2, F.greatest(F.size(resolved) - i - 1, F.lit(0))),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return df.withColumn("extracted", F.map_from_entries(deduped))

@@ -30,8 +30,12 @@ def declared_count_violations(
     reference aborts on a truncated comment block, vorbis.go:55-58).
     Output schema matches ValidationSuite.violations()."""
     actual = df.groupBy(F.col(conv_col)).agg(F.count(F.lit(1)).alias("__actual"))
-    joined = actual.join(meta.select(F.col(conv_col), F.col(declared_col).alias("__declared")), conv_col, "left")
-    bad = joined.filter(F.col("__declared").isNull() | (F.col("__actual") != F.col("__declared")))
+    # FULL OUTER: a conversation declared in metadata but absent from the
+    # fact table ("declared 5, found 0" — the truncated-block case the
+    # reference aborts on) must be flagged, not dropped by a left join
+    joined = actual.join(meta.select(F.col(conv_col), F.col(declared_col).alias("__declared")), conv_col, "full_outer")
+    found = F.coalesce(F.col("__actual"), F.lit(0))
+    bad = joined.filter(F.col("__declared").isNull() | (found != F.col("__declared")))
     return bad.select(
         F.lit(check_id).alias("check_id"),
         F.lit("error").alias("severity"),
@@ -40,14 +44,14 @@ def declared_count_violations(
         F.lit(declared_col).alias("column"),
         F.when(
             F.col("__declared").isNull(),
-            F.concat(F.lit("conversation missing from metadata; actual="), F.col("__actual").cast("string")),
+            F.concat(F.lit("conversation missing from metadata; actual="), found.cast("string")),
         )
         .otherwise(
             F.concat(
                 F.lit("declared "),
                 F.col("__declared").cast("string"),
                 F.lit(" turns, found "),
-                F.col("__actual").cast("string"),
+                found.cast("string"),
             )
         )
         .alias("reason"),

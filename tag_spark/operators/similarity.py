@@ -108,7 +108,9 @@ def lsh_ann_topk(
     ANY of n_tables hash tables; exact cosine re-rank of candidates only.
     Recall grows with n_tables; candidate count stays ~n/2^n_planes·tables."""
     dim = len(query_vec)
-    cands = None
+    # ONE scan: a row is a candidate if its signature matches the query's in
+    # ANY table (per-table unions would rescan the source n_tables times)
+    cond = None
     for t in range(n_tables):
         sig = lsh_signature(F.col(vec_col), dim, n_planes, seed + t * 101)
         # query signature computed driver-side with the same planes
@@ -117,9 +119,9 @@ def lsh_ann_topk(
             h = _hyperplane(dim, p, seed + t * 101)
             if sum(a * b for a, b in zip(query_vec, h)) >= 0:
                 qsig |= 1 << p
-        part = df.select(F.col(id_col), F.col(vec_col)).filter(sig == F.lit(qsig))
-        cands = part if cands is None else cands.unionByName(part)
-    cands = cands.dropDuplicates([id_col])
+        match = sig == F.lit(qsig)
+        cond = match if cond is None else cond | match
+    cands = df.select(F.col(id_col), F.col(vec_col)).filter(cond)
     q = _lit_vec(query_vec)
     return (
         cands.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
@@ -145,15 +147,24 @@ def lsh_neardup_pairs(
     so P(same 8-bit signature) = (1-26/180)^8 ≈ 0.28 per table →
     1-(1-0.28)^6 ≈ 0.86 recall with 6 tables; raise n_tables for more."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cands = None
-    for t in range(n_tables):
-        sig = base.select("id", "v", lsh_signature(F.col("v"), dim, n_planes, seed + t * 101).alias("sig"))
-        a, b = sig.alias("a"), sig.alias("b")
-        part = a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id"))).select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    # ONE pass computes every table's signature (per-table self-joins would
+    # rescan and re-hash the source n_tables times); candidates come from a
+    # single equi-join on (table, signature)
+    sigs = base.select(
+        "id",
+        F.posexplode(
+            F.array(*[lsh_signature(F.col("v"), dim, n_planes, seed + t * 101) for t in range(n_tables)])
+        ).alias("t", "sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
         )
-        cands = part if cands is None else cands.unionByName(part)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (

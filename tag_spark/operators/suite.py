@@ -185,18 +185,19 @@ class ValidationSuite:
         violations = self.violations(df).persist(StorageLevel.MEMORY_AND_DISK)
         return self.assemble(df, violations)
 
-    def assemble(self, df: DataFrame, violations: DataFrame, extra_check_ids: list[str] | None = None) -> ValidationResult:
+    def assemble(self, df: DataFrame, violations: DataFrame, extra_checks: dict[str, str] | None = None) -> ValidationResult:
         """Build the verdict matrix from an (already computed) violation
         frame — lets callers mix in externally-produced violations (e.g. the
-        salted ordering path) and still get one coherent matrix."""
+        salted ordering path) and still get one coherent matrix.
+        ``extra_checks`` maps external check_id -> severity."""
         conv_col = self.key_cols[0]
         bucket_counts = df.groupBy(self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id")).agg(
             F.count(F.lit(1)).alias("rows_checked")
         )
 
         sev = {c.check_id: c.severity for c in self.checks}
-        for cid in extra_check_ids or []:
-            sev.setdefault(cid, SEV_ERROR)
+        for cid, s in (extra_checks or {}).items():
+            sev.setdefault(cid, s)
         sev_map = F.create_map(*[x for cid, s in sev.items() for x in (F.lit(cid), F.lit(s))])
 
         vcounts = violations.groupBy("bucket_id", "check_id").agg(F.count(F.lit(1)).alias("rows_violating"))
