@@ -50,7 +50,8 @@ WITH viol AS (
     ) WHERE c > 1
   UNION ALL
     SELECT 'ts_monotone', 'error', user_id, event_id FROM (
-        SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        -- NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's ASC default
+        SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST) AS prev
         FROM events
     ) WHERE prev IS NOT NULL AND ts IS NOT NULL AND ts < prev
   UNION ALL
@@ -232,7 +233,7 @@ WITH viol AS (
         SELECT user_id, count(*) OVER (PARTITION BY event_id) AS c FROM events) WHERE c > 1
   UNION ALL
     SELECT 'ts_monotone', user_id % 64 FROM (
-        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM events
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST) AS prev FROM events
     ) WHERE prev IS NOT NULL AND ts IS NOT NULL AND ts < prev
   UNION ALL
     SELECT 'event_id_not_null', user_id % 64 FROM events WHERE event_id IS NULL

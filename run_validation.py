@@ -22,7 +22,7 @@ import time
 from pyspark.sql import functions as F
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", default=None, help="transcripts parquet path (default: generate synthetic)")
     p.add_argument("--output", default="/tmp/tag_spark_out", help="output directory")
@@ -45,7 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
     from tag_spark.plans.checkpoint import CheckpointManifest
 
-    spark = get_spark(app_name="tag-spark-validate", master=args.master)
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(app_name="tag-spark-validate", master=args.master)
     t0 = time.monotonic()
 
     if args.input:
@@ -58,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.resume:
         done = manifest.completed_buckets()
-        df = manifest.filter_pending(df)
+        df = manifest.filter_pending(df, bucket_fn=suite.bucket_fn, n_buckets=suite.n_buckets)
         print(f"resume: skipping {len(done)} completed buckets", flush=True)
 
     if args.salt_block_size:
@@ -89,13 +91,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         res = suite.run(df)
 
-    ValidationSuite.stable_violations(res.violations).write.mode("overwrite").parquet(f"{args.output}/violations")
-    res.verdicts.orderBy("bucket_id", "check_id").write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    # a resumed run only processed the PENDING buckets — append so previously
+    # completed buckets' outputs accumulate instead of being clobbered (the
+    # manifest still marks them done); a fresh run starts the dirs over
+    mode = "append" if args.resume else "overwrite"
+    ValidationSuite.stable_violations(res.violations).write.mode(mode).parquet(f"{args.output}/violations")
+    res.verdicts.orderBy("bucket_id", "check_id").write.mode(mode).parquet(f"{args.output}/verdicts")
 
     if args.stats:
         from tag_spark.operators.stats import collect_stats_arrow
 
-        collect_stats_arrow(df, ["turn_idx", "role", "text", "tool", "ts"]).write.mode("overwrite").parquet(
+        collect_stats_arrow(df, ["turn_idx", "role", "text", "tool", "ts"]).write.mode(mode).parquet(
             f"{args.output}/stats"
         )
 
@@ -114,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     print("top violation reasons:")
     for r in viol.groupBy("check_id", "severity").count().orderBy(F.desc("count")).limit(20).collect():
         print(f"  {r['check_id']:28s} [{r['severity']}] rows={r['count']}")
-    spark.stop()
+    if owns_spark:
+        spark.stop()
     return 0
 
 

@@ -159,7 +159,13 @@ class Conditional(Check):
     then_sql: str = ""
 
     def predicate(self, df: DataFrame) -> Column:
-        return ~F.expr(self.when_sql) | F.expr(self.then_sql)
+        # gate the antecedent explicitly: the rule fires only when `when` is
+        # literally TRUE. A NULL antecedent must mean "rule doesn't apply"
+        # (pass), not NULL — the suite wraps predicates in
+        # NOT coalesce(pred, FALSE), which would otherwise turn a NULL `when`
+        # into a violation while SQL oracles (`when AND NOT coalesce(then,
+        # FALSE)`) treat it as a pass.
+        return ~F.coalesce(F.expr(self.when_sql), F.lit(False)) | F.expr(self.then_sql)
 
     def reason(self) -> Column:
         return F.lit(f"violated: {self.when_sql} implies {self.then_sql}")

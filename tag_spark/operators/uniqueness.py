@@ -36,7 +36,12 @@ class UniquenessReport:
 def check_uniqueness(df: DataFrame, keys: list[str], rsd: float = 0.01, force_exact: bool = False) -> UniquenessReport:
     n_rows, approx = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]), rsd).alias("d"),
+        # NULL fields hash as a sentinel: concat_ws silently DROPS null
+        # arguments, so (NULL,'a') and ('a',NULL) would otherwise collide
+        # and undercount (same hazard documented at hashing.py turn_sha1)
+        F.approx_count_distinct(
+            F.concat_ws("\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<null>")) for k in keys]), rsd
+        ).alias("d"),
     ).first()
 
     # HLL error is ±rsd; if approx ≥ n·(1-3·rsd) the data is *plausibly*

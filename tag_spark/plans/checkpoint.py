@@ -49,17 +49,21 @@ class CheckpointManifest:
         rows = self.read().filter(F.col("status") == "done").select("bucket_id").distinct().collect()
         return sorted(r["bucket_id"] for r in rows)
 
-    def filter_pending(self, df: DataFrame, conv_col: str = "conv_id", n_buckets: int | None = None) -> DataFrame:
+    def filter_pending(self, df: DataFrame, conv_col: str = "conv_id", n_buckets: int | None = None, bucket_fn=None) -> DataFrame:
         """Drop rows whose bucket already completed. Broadcast anti-join on
         the tiny completed-bucket set — prunes at the scan via the pushed
-        bucket predicate when the table is bucket-partitioned."""
+        bucket predicate when the table is bucket-partitioned.
+
+        ``bucket_fn(col_name, n) -> Column`` must be the SAME bucketing the
+        suite that recorded the manifest used (e.g. generic_suites.mod_bucket)
+        or resume would skip/re-validate the wrong rows."""
         from tag_spark.operators.suite import bucket_expr
         from tag_spark.schema import N_BUCKETS
 
         done = self.completed_buckets()
         if not done:
             return df
-        b = bucket_expr(conv_col, n_buckets or N_BUCKETS)
+        b = (bucket_fn or bucket_expr)(conv_col, n_buckets or N_BUCKETS)
         return df.filter(~b.isin(done))
 
     # ------------------------------------------------------------------

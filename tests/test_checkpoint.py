@@ -37,6 +37,44 @@ def test_partial_resume(spark, transcripts):
         assert pending.filter(bucket_expr() < 32).count() == 0
 
 
+def test_resume_does_not_clobber_outputs(spark):
+    """Regression: a resumed run must APPEND its (pending-bucket) outputs —
+    overwriting would destroy the completed buckets' violations/verdicts
+    while the manifest still marks them done."""
+    import run_validation
+
+    with tempfile.TemporaryDirectory() as d:
+        args = ["--output", d, "--n-convs", "60"]
+        assert run_validation.main(args, spark=spark) == 0
+        viol_before = spark.read.parquet(f"{d}/violations").count()
+        verd_before = spark.read.parquet(f"{d}/verdicts").count()
+        assert viol_before > 0
+        # resume with everything complete: pending set is empty, so the run
+        # writes nothing new — but must not wipe the existing outputs either
+        assert run_validation.main(args + ["--resume"], spark=spark) == 0
+        assert spark.read.parquet(f"{d}/violations").count() == viol_before
+        assert spark.read.parquet(f"{d}/verdicts").count() == verd_before
+
+
+def test_filter_pending_respects_custom_bucket_fn(spark):
+    """A manifest recorded under a custom bucketing must be resumed with the
+    SAME bucketing or the wrong rows would be skipped/re-validated."""
+    from tag_spark.operators.generic_suites import events_suite, mod_bucket
+
+    events = spark.createDataFrame(
+        [(i, i % 10, "click", None, 1.0, "{}") for i in range(100)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    suite = events_suite(n_buckets=64)
+    res = suite.run(events.filter(mod_bucket("user_id", 64) < 5))
+    with tempfile.TemporaryDirectory() as d:
+        m = CheckpointManifest(spark, f"{d}/manifest")
+        m.record_run(res)
+        pending = m.filter_pending(events, conv_col="user_id", n_buckets=64, bucket_fn=mod_bucket)
+        assert pending.count() == events.filter(mod_bucket("user_id", 64) >= 5).count()
+        assert pending.filter(mod_bucket("user_id", 64) < 5).count() == 0
+
+
 def test_manifest_metrics_match_verdicts(spark, transcripts):
     suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
     res = suite.run(transcripts)

@@ -96,3 +96,30 @@ def test_stable_order(result):
     rows = ValidationSuite.stable_violations(result.violations).limit(100).collect()
     keys = [(r["check_id"], r["conv_id"], r["turn_idx"]) for r in rows]
     assert keys == sorted(keys, key=lambda k: (k[0], k[1], k[2] if k[2] is not None else -(10**9)))
+
+
+def test_conditional_null_antecedent_is_a_pass(spark):
+    """NULL `when` means the rule doesn't apply — matching SQL-oracle
+    semantics (`when AND NOT coalesce(then, FALSE)` skips NULL-when rows).
+    Regression for the advisor finding on Conditional.predicate."""
+    from tag_spark.operators.checks import Conditional, SEV_WARN
+
+    df = spark.createDataFrame(
+        [
+            ("purchase", -1.0),  # when TRUE, then FALSE -> violation
+            ("purchase", 5.0),  # when TRUE, then TRUE  -> pass
+            (None, -1.0),  # when NULL -> rule doesn't apply -> pass
+            (None, None),  # when NULL, then NULL -> pass
+            ("purchase", None),  # when TRUE, then NULL -> violation
+            ("click", -1.0),  # when FALSE -> pass
+        ],
+        "event_type string, value double",
+    )
+    suite = ValidationSuite(
+        [Conditional("purchase_value_positive", SEV_WARN, when_sql="event_type = 'purchase'", then_sql="value > 0")],
+        key_cols=("event_type", "value"),
+        hash_col="event_type",
+    )
+    viol = suite.violations(df).collect()
+    flagged = {(r["conv_id"], r["turn_idx"]) for r in viol}
+    assert flagged == {("purchase", -1.0), ("purchase", None)}
