@@ -417,13 +417,30 @@ FROM u
 
 
 def _conversation_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 ordered per-conversation digest over events-as-conversations
-    (sha1 unavailable in DuckDB → rows-only check; exactness covered by
-    tests/test_hashing.py)."""
+    """C2 ordered per-conversation digest over events-as-conversations,
+    md5 variant so DuckDB (which has md5 but no sha1) can recompute the
+    exact digest: per-row hash over null-sentineled fields, rows ordered by
+    (idx NULLS-FIRST-as-long-min, row-hash), digest = hash of the 0x1f-joined
+    row hashes. The sha1 default stays pinned in tests/test_golden.py."""
     from tag_spark.functions.hashing import conversation_digest
 
     e = _t(spark, sf_dir, "events")
-    return conversation_digest(e, conv_col="user_id", idx_col="event_id", text_col="props")
+    return conversation_digest(e, conv_col="user_id", idx_col="event_id", text_col="props", algo="md5")
+
+
+_CONVERSATION_DIGESTS_SQL = """
+WITH t AS (
+  SELECT user_id,
+         coalesce(CAST(event_id AS BIGINT), -4611686018427387904) AS ord,
+         md5(coalesce(CAST(user_id AS VARCHAR), '<null>') || chr(31)
+          || coalesce(CAST(event_id AS VARCHAR), '<null>') || chr(31)
+          || coalesce(props, '<null>')) AS h
+  FROM events)
+SELECT user_id,
+       md5(string_agg(h, chr(31) ORDER BY ord, h)) AS conv_md5,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -632,8 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_violations": _LINEITEM_VIOLATIONS_SQL,
         "doc_len_drift_histogram": _DOC_LEN_DRIFT_SQL,
         "doc_token_totals": _DOC_TOKEN_TOTALS_SQL,
-        # conversation_digests / transcript_violations: sha1+xxhash64 based →
-        # rows-only (byte-for-byte pinning lives in tests/test_golden.py)
+        "conversation_digests": _CONVERSATION_DIGESTS_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_canonical": _EVENTS_CANONICAL_SQL,
         "stats_lineitem_buckets": _STATS_LINEITEM_SQL,

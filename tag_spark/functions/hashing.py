@@ -15,12 +15,21 @@ from pyspark.sql import functions as F
 _SEP = "\x1f"
 
 
-def turn_sha1(conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text") -> Column:
-    """C1: sha1(conv_id || 0x1f || turn_idx || 0x1f || text); every NULL
+def _hash_fn(algo: str):
+    if algo == "sha1":
+        return F.sha1
+    if algo == "md5":
+        return F.md5
+    raise ValueError(f"unsupported digest algo: {algo!r}")
+
+
+def turn_hash(conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text", algo: str = "sha1") -> Column:
+    """C1: hash(conv_id || 0x1f || turn_idx || 0x1f || text); every NULL
     field hashes as the literal '<null>' — concat_ws silently DROPS null
     arguments, which would make (NULL, 1, t) and ('1', NULL, t) collide.
-    Analog: tag.Sum dispatch (sum.go:14-44)."""
-    return F.sha1(
+    Analog: tag.Sum dispatch (sum.go:14-44). ``algo='md5'`` gives the
+    SQL-oracle-reproducible variant (DuckDB has md5 but no sha1)."""
+    return _hash_fn(algo)(
         F.encode(
             F.concat_ws(
                 _SEP,
@@ -33,28 +42,39 @@ def turn_sha1(conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: st
     )
 
 
-def conversation_digest(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text") -> DataFrame:
-    """C2: one SHA-1 per conversation over its turns in stable (turn_idx)
+def turn_sha1(conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text") -> Column:
+    return turn_hash(conv_col, idx_col, text_col, algo="sha1")
+
+
+def conversation_digest(
+    df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx", text_col: str = "text", algo: str = "sha1"
+) -> DataFrame:
+    """C2: one digest per conversation over its turns in stable (turn_idx)
     order — `SumAll` (sum.go:47-54) with the stream replaced by the sorted
     turn sequence. Implemented with sort_array over collected structs so the
-    result is independent of physical row order."""
-    row_h = turn_sha1(conv_col, idx_col, text_col)
+    result is independent of physical row order. The sort key coalesces a
+    NULL turn_idx to long-min (explicit NULLS FIRST) with the row hash as
+    tie-break, so the ordering is total and engine-independent — an SQL
+    oracle mirrors it with ``ORDER BY coalesce(idx, <long-min>), h``.
+    Output column: ``conv_sha1`` / ``conv_md5`` per ``algo``."""
+    row_h = turn_hash(conv_col, idx_col, text_col, algo)
+    sort_key = F.coalesce(F.col(idx_col).cast("long"), F.lit(-(1 << 62)))
     return (
-        df.select(F.col(conv_col), F.col(idx_col), row_h.alias("h"))
+        df.select(F.col(conv_col), sort_key.alias("__i"), row_h.alias("h"))
         .groupBy(conv_col)
         .agg(
-            F.sha1(
+            _hash_fn(algo)(
                 F.encode(
                     F.array_join(
                         F.transform(
-                            F.array_sort(F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col("h").alias("h")))),
+                            F.array_sort(F.collect_list(F.struct(F.col("__i").alias("i"), F.col("h").alias("h")))),
                             lambda s: s["h"],
                         ),
                         _SEP,
                     ),
                     "UTF-8",
                 )
-            ).alias("conv_sha1"),
+            ).alias(f"conv_{algo}"),
             F.count(F.lit(1)).alias("n_turns"),
         )
     )
