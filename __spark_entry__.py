@@ -592,9 +592,33 @@ def _minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tag_spark.operators.dedup import simhash
+    """md5-derived SimHash so DuckDB can recompute the exact fingerprint
+    (the xxhash64 engine variant stays the fast path, pytest-covered)."""
+    from tag_spark.operators.dedup import simhash_md5
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_md5_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) // {1 << (b % 4)}) % 2 * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    digit = lambda d: " + ".join(f"(CASE WHEN v{4 * d + k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(4))  # noqa: E731
+    out = " || ".join(f"substr('0123456789abcdef', ({digit(d)}) + 1, 1)" for d in range(16))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+    FROM documents)
+), votes AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id AS id, {out} AS simhash_hex, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM votes
+"""
 
 
 def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         # whenever candidate recall is complete — which 32x2 banding
         # guarantees for this corpus (all true pairs have j >= 0.9)
         "minhash_neardup_docs": _DOC_JACCARD_SQL,
+        "simhash_docs": _simhash_md5_oracle(),
     }
 
 

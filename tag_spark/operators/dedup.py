@@ -253,6 +253,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed:
     return wide.select("id", sim.alias("simhash"), "n_tokens")
 
 
+def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Oracle-portable SimHash: the 64-bit token hash is the first 16 hex
+    digits of md5(token), which an independent SQL engine (DuckDB) can
+    recompute exactly — unlike xxhash64. Same explode + 64 partial-agg bit
+    votes shape as ``simhash``; the output fingerprint is the 16-hex-char
+    string (a signed-long top bit would be ANSI-hostile anyway).
+
+    Per bit b: digit d = b//4 of the md5 hex, bit = (digit >> (b%4)) & 1,
+    vote = ±1 summed across tokens; output digit = the 4 vote signs."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    tokens = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t")).withColumn(
+        "h", F.md5(F.encode(F.col("t"), "UTF-8"))
+    )
+    # digit values 0..15 for the 16 leading hex chars, computed once per row
+    digs = [F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("int").alias(f"d{d}") for d in range(16)]
+    tok = tok.select("id", *digs)
+    votes = [
+        F.sum((F.floor(F.col(f"d{b // 4}") / (1 << (b % 4))).cast("int") % 2) * 2 - 1).alias(f"v{b}")
+        for b in range(64)
+    ]
+    wide = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"), *votes)
+    hex_chars = "0123456789abcdef"
+    out_digits = [
+        sum([F.when(F.col(f"v{4 * d + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)) for k in range(4)], F.lit(0))
+        for d in range(16)
+    ]
+    simhash_hex = F.concat(*[F.lit(hex_chars).substr(dv + 1, F.lit(1)) for dv in out_digits])
+    return wide.select("id", simhash_hex.alias("simhash_hex"), "n_tokens")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

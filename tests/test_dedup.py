@@ -113,3 +113,21 @@ def test_jaccard_shingle_frequency_cap_drops_boilerplate(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     # only the genuinely-similar pair survives; boilerplate-only overlap doesn't
     assert got == {(100, 101)}
+
+
+def test_simhash_md5_variant_tracks_similarity(spark):
+    """The oracle-portable md5 SimHash must behave like a simhash: identical
+    docs get identical fingerprints, near-identical docs differ in few hex
+    digits, unrelated docs differ in many."""
+    from tag_spark.operators.dedup import simhash_md5
+
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, BASE + " extra token here"), (4, "completely different words entirely unrelated content")],
+        "doc_id long, text string",
+    )
+    fp = {r.id: r.simhash_hex for r in simhash_md5(df).collect()}
+    assert all(len(v) == 16 for v in fp.values())
+    assert fp[1] == fp[2]
+    diff = lambda a, b: sum(1 for x, y in zip(a, b) if x != y)  # noqa: E731
+    assert diff(fp[1], fp[3]) <= 6
+    assert diff(fp[1], fp[4]) > diff(fp[1], fp[3])
