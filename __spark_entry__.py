@@ -306,17 +306,102 @@ FROM t
 """
 
 
-def _transcript_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The core engine on its native input: deterministic synthetic
-    transcripts (seed 42) through the full 15-check suite, stable-ordered.
-    sha1/xxhash based → rows-only for the driver; byte-for-byte pinning is
-    tests/test_golden.py."""
-    from tag_spark.generate import dim_role, dim_tool, generate_transcripts
-    from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
+def _events_as_transcripts_sql(ts_kw: str) -> str:
+    """Transcript view derived from the events table by expressions BOTH
+    engines evaluate identically (row_number over the unique event_id,
+    residue-class violation plants). ``ts_kw`` is the only dialect split:
+    Spark needs TIMESTAMP_NTZ for the literal to match the parquet column
+    type; DuckDB's TIMESTAMP is already naive."""
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, ts, props,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+  FROM events
+)
+SELECT CAST(user_id AS STRING) AS conv_id,
+  CASE WHEN event_id % 997 = 13 THEN -1
+       WHEN event_id % 97 = 5 THEN rn + 1
+       ELSE rn END AS turn_idx,
+  CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+       WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
+       ELSE 'robot' END AS role,
+  CASE WHEN event_id % 211 = 7 THEN ''
+       WHEN event_id % 223 = 11 THEN NULL
+       WHEN event_id % 227 = 3 THEN props || chr(0) || 'x'
+       WHEN event_id % 231 = 9 THEN repeat('x', 20000)
+       ELSE props END AS text,
+  CASE WHEN event_type = 'purchase' AND event_id % 3 = 0 THEN 'search'
+       WHEN event_type = 'signup' AND event_id % 11 = 0 THEN 'bash'
+       WHEN event_type = 'view' AND event_id % 13 = 0 THEN 'frobnicate'
+       ELSE NULL END AS tool,
+  CASE WHEN event_id % 229 = 17 THEN {ts_kw} '9999-01-01 00:00:00'
+       WHEN event_id % 233 = 19 THEN NULL
+       ELSE ts END AS ts
+FROM base
+"""
 
-    t = generate_transcripts(spark, n_convs=400, seed=42)
+
+def _transcript_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL default transcript suite (all 15 checks: required fields,
+    hygiene warns, bounds, the cross-field conditional, both vocabulary
+    referential checks, uniqueness, contiguity, monotonicity) driven over a
+    transcript view derived from the events table — so the complete engine
+    loop is verified row-for-row by an independent SQL oracle. The
+    synthetic-generator corpus stays byte-pinned in tests/test_golden.py."""
+    from tag_spark.generate import dim_role, dim_tool
+    from tag_spark.operators.suite import default_transcript_suite
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    tview = spark.sql(_events_as_transcripts_sql("TIMESTAMP_NTZ"))
     suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
-    return ValidationSuite.stable_violations(suite.violations(t))
+    return suite.violations(tview).select(
+        "check_id", "severity", "conv_id", F.col("turn_idx").cast("long").alias("turn_idx")
+    )
+
+
+def _transcript_violations_oracle() -> str:
+    from tag_spark.schema import DEFAULT_ROLES, DEFAULT_TOOLS
+
+    roles = ", ".join(f"'{r}'" for r in DEFAULT_ROLES)
+    tools = ", ".join(f"'{t}'" for t in DEFAULT_TOOLS)
+    return f"""
+WITH tview AS ({_events_as_transcripts_sql("TIMESTAMP")}),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST) AS prev_idx,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST) AS prev_ts,
+         count(*) OVER (PARTITION BY conv_id, turn_idx) AS dup_c
+  FROM tview
+), viol AS (
+    SELECT 'turn_idx_not_null' AS check_id, 'error' AS severity, conv_id, turn_idx FROM tview WHERE turn_idx IS NULL
+  UNION ALL SELECT 'role_not_null', 'error', conv_id, turn_idx FROM tview WHERE role IS NULL
+  UNION ALL SELECT 'ts_not_null', 'error', conv_id, turn_idx FROM tview WHERE ts IS NULL
+  UNION ALL SELECT 'text_not_null', 'error', conv_id, turn_idx FROM tview WHERE text IS NULL
+  UNION ALL SELECT 'text_nonempty', 'warn', conv_id, turn_idx FROM tview
+    WHERE text IS NOT NULL AND length(text) = 0
+  UNION ALL SELECT 'text_no_nul', 'warn', conv_id, turn_idx FROM tview
+    WHERE text IS NOT NULL AND contains(text, chr(0))
+  UNION ALL SELECT 'turn_idx_nonneg', 'error', conv_id, turn_idx FROM tview
+    WHERE turn_idx IS NOT NULL AND turn_idx < 0
+  UNION ALL SELECT 'ts_in_epoch_range', 'error', conv_id, turn_idx FROM tview
+    WHERE ts IS NOT NULL AND NOT (ts >= TIMESTAMP '1970-01-01 00:00:00' AND ts <= TIMESTAMP '2100-01-01 00:00:00')
+  UNION ALL SELECT 'text_max_len', 'error', conv_id, turn_idx FROM tview
+    WHERE text IS NOT NULL AND length(text) > 16384
+  UNION ALL SELECT 'tool_requires_assistant', 'error', conv_id, turn_idx FROM tview
+    WHERE tool IS NOT NULL AND NOT coalesce(role = 'assistant', FALSE)
+  UNION ALL SELECT 'role_in_vocab', 'error', conv_id, turn_idx FROM tview
+    WHERE role IS NOT NULL AND role NOT IN ({roles})
+  UNION ALL SELECT 'tool_in_vocab', 'error', conv_id, turn_idx FROM tview
+    WHERE tool IS NOT NULL AND tool NOT IN ({tools})
+  UNION ALL SELECT 'unique_turn', 'error', conv_id, turn_idx FROM w WHERE dup_c > 1
+  UNION ALL SELECT 'turn_contiguous', 'error', conv_id, turn_idx FROM w
+    WHERE NOT coalesce((prev_idx IS NOT NULL OR turn_idx = 0)
+                   AND (prev_idx IS NULL OR turn_idx = prev_idx + 1 OR turn_idx = prev_idx), FALSE)
+  UNION ALL SELECT 'ts_monotone', 'error', conv_id, turn_idx FROM w
+    WHERE prev_ts IS NOT NULL AND ts IS NOT NULL AND ts < prev_ts
+)
+SELECT check_id, severity, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM viol
+"""
 
 
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_len_drift_histogram": _DOC_LEN_DRIFT_SQL,
         "doc_token_totals": _DOC_TOKEN_TOTALS_SQL,
         "conversation_digests": _CONVERSATION_DIGESTS_SQL,
+        "transcript_violations": _transcript_violations_oracle(),
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_canonical": _EVENTS_CANONICAL_SQL,
         "stats_lineitem_buckets": _STATS_LINEITEM_SQL,
