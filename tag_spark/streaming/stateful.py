@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -56,22 +57,25 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
 
     for pdf in pdfs:
         pdf = pdf.sort_values(["turn_idx", "ts_epoch"])  # vectorized in-batch ordering
-        idx = pdf["turn_idx"].to_numpy()
-        ts = pdf["ts_epoch"].to_numpy()
-        for i in range(len(pdf)):  # per-turn loop bounded by batch size
-            n_turns += 1
-            # nullable longs arrive as float64 NaN through Arrow — a NULL
-            # turn_idx is counted but excluded from ordering state (the
-            # batch suite flags it as a NotNull violation); int(NaN) raises
-            if not pd.isna(idx[i]):
-                cur = int(idx[i])
-                if cur > max_idx + 1:
-                    n_gaps += 1
-                max_idx = max(max_idx, cur)
-            if not pd.isna(ts[i]):
-                if float(ts[i]) < last_ts:
-                    n_regr += 1
-                last_ts = max(last_ts, float(ts[i]))
+        # nullable longs arrive as float64 NaN through Arrow — NULL turn_idx
+        # / ts rows are counted but excluded from ordering state (the batch
+        # suite flags them as NotNull violations). All state math is numpy:
+        # the running max BEFORE each element is a prefix maximum seeded with
+        # the carried state (NaN -> -inf so it never wins the accumulate),
+        # gaps/regressions are mask sums — no per-row Python (input_hint).
+        idx = pdf["turn_idx"].to_numpy(dtype="float64", na_value=np.nan)
+        ts = pdf["ts_epoch"].to_numpy(dtype="float64", na_value=np.nan)
+        n_turns += len(pdf)
+        iv = np.where(np.isnan(idx), -np.inf, idx)
+        prev_max = np.maximum.accumulate(np.concatenate(([float(max_idx)], iv)))[:-1]
+        n_gaps += int(np.count_nonzero(idx > prev_max + 1))  # NaN compares False
+        if iv.size and np.isfinite(iv.max()):
+            max_idx = max(max_idx, int(iv.max()))
+        tv = np.where(np.isnan(ts), -np.inf, ts)
+        prev_ts = np.maximum.accumulate(np.concatenate(([last_ts], tv)))[:-1]
+        n_regr += int(np.count_nonzero(ts < prev_ts))
+        if tv.size:
+            last_ts = max(last_ts, float(tv.max()))
 
     state.update((int(max_idx), float(last_ts), int(n_turns), int(n_gaps), int(n_regr)))
     yield pd.DataFrame(
