@@ -105,6 +105,56 @@ def column_subset_digest(df: DataFrame, cols: list[str], conv_col: str = "conv_i
     )
 
 
+def exclusion_digest(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    skip_head: int = 0,
+    skip_tail: int = 0,
+    algo: str = "sha1",
+) -> DataFrame:
+    """C4-C6: per-conversation digest over the turn sequence with the first
+    ``skip_head`` and/or last ``skip_tail`` turns EXCLUDED — the engine
+    analog of the reference's both-ends exclusion sums: SumID3v1 hashes all
+    but the 128-byte trailer (sum.go:117-134), SumID3v2 skips the header+tag
+    block (sum.go:138-165), SumFLAC/SumOGG skip leading metadata blocks
+    (sum.go:169-215). Changing excluded turns must not change the digest.
+
+    One groupBy: turns are collected, sorted by (idx, row-hash), sliced to
+    the kept window, then folded into a single digest. A conversation with
+    fewer than skip_head+skip_tail turns digests the empty sequence."""
+    row_h = turn_hash(conv_col, idx_col, text_col, algo)
+    sort_key = F.coalesce(F.col(idx_col).cast("long"), F.lit(-(1 << 62)))
+    rows = F.array_sort(F.collect_list(F.struct(F.col("__i").alias("i"), F.col("h").alias("h"))))
+    kept = F.slice(rows, skip_head + 1, F.greatest(F.size(rows) - skip_head - skip_tail, F.lit(0)))
+    return (
+        df.select(F.col(conv_col), sort_key.alias("__i"), row_h.alias("h"))
+        .groupBy(conv_col)
+        .agg(
+            _hash_fn(algo)(F.encode(F.array_join(F.transform(kept, lambda s: s["h"]), _SEP), "UTF-8")).alias(
+                f"payload_{algo}"
+            ),
+            F.greatest(F.count(F.lit(1)) - skip_head - skip_tail, F.lit(0)).alias("n_hashed"),
+        )
+    )
+
+
+def digest_excluding_trailer(df: DataFrame, n_tail: int = 1, **kw) -> DataFrame:
+    """C4 (SumID3v1, sum.go:117-134): everything but the fixed-size trailer."""
+    return exclusion_digest(df, skip_tail=n_tail, **kw)
+
+
+def digest_excluding_header(df: DataFrame, n_head: int = 1, **kw) -> DataFrame:
+    """C5 (SumID3v2, sum.go:138-165): everything after the header block."""
+    return exclusion_digest(df, skip_head=n_head, **kw)
+
+
+def digest_excluding_edges(df: DataFrame, n_head: int = 1, n_tail: int = 1, **kw) -> DataFrame:
+    """C6 (SumFLAC/SumOGG, sum.go:169-215): both ends excluded."""
+    return exclusion_digest(df, skip_head=n_head, skip_tail=n_tail, **kw)
+
+
 def frame_digest(df: DataFrame, cols: list[str]) -> str:
     """Whole-DataFrame order-insensitive digest for fixture assertions in
     tests: xor-free, stable — sha1 of the sorted row-hash list. Collects one
