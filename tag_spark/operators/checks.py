@@ -226,6 +226,15 @@ class Unique(WindowCheck):
     # suite computes map-side) keeps ranks deterministic without shuffling
     # the text payload.
     rank_by: Sequence[str] = ("ts", "__sha1")
+    # screen-then-confirm: a Unique whose keys are NOT prefixed by the
+    # suite's conv key forces its own row exchange. With screen='exact' the
+    # suite first runs count vs countDistinct (partial-aggregated — shuffles
+    # agg bytes, not rows) and only pays the window exchange when duplicates
+    # exist; results stay EXACT. screen='hll' uses approx_count_distinct
+    # (cheaper still, mergeable sketch) but can MISS duplicate rates below
+    # ~3x screen_rsd — advisory mode for interactive scale use only.
+    screen: str | None = None
+    screen_rsd: float = 0.01
 
     def referenced_cols(self) -> set[str]:
         # Unique builds its windows from keys/rank_by only; the inherited

@@ -45,13 +45,11 @@ def events_suite(n_buckets: int = 64) -> ValidationSuite:
             InSet("event_type_in_vocab", SEV_ERROR, col="event_type", allowed=EVENT_TYPES),
             InRange("value_nonneg", SEV_ERROR, col="value", lo=0.0),
             Conditional("purchase_value_positive", SEV_WARN, when_sql="event_type = 'purchase'", then_sql="value > 0"),
-            # NB: Unique on a key that is NOT prefixed by the suite's conv
-            # key (user_id) forces a second exchange on event_id — inherent
-            # to exact global-key uniqueness inside a fused suite. At real
-            # scale, screen with operators/uniqueness.check_uniqueness
-            # (partial-agg HLL, shuffles bytes not rows) and only run this
-            # exact in-suite check when the screen flags duplicates.
-            Unique("unique_event_id", SEV_ERROR, keys=("event_id",), rank_by=("ts", "__sha1")),
+            # Unique on a key NOT prefixed by the suite's conv key (user_id)
+            # would force a second row exchange on event_id — screen='exact'
+            # runs a partial-aggregated distinct-count first and only pays
+            # that exchange when duplicates actually exist (still exact).
+            Unique("unique_event_id", SEV_ERROR, keys=("event_id",), rank_by=("ts", "__sha1"), screen="exact"),
             Monotonic("ts_monotone", SEV_ERROR, col="ts", partition_by=("user_id",), order_by=("event_id",)),
         ],
         key_cols=("user_id", "event_id"),

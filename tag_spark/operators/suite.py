@@ -99,6 +99,16 @@ class ValidationSuite:
         window_checks = [c for c in self.checks if isinstance(c, WindowCheck)]
         row_checks = [c for c in self.checks if not isinstance(c, WindowCheck)]
 
+        # screen-then-confirm uniqueness: Unique(screen=...) checks run a
+        # lightweight distinct-count screen FIRST (eager — one agg job) and
+        # drop out of the windowed plan when the table is duplicate-free, so
+        # a clean table never pays their row exchange. They stay in
+        # self.checks, so the verdict matrix still reports them (PASS).
+        screened = [c for c in window_checks if isinstance(c, Unique) and c.screen]
+        if screened:
+            clean = self._screen_clean(df, screened)
+            window_checks = [c for c in window_checks if c not in clean]
+
         work = df
         for c in ref_checks:
             work = c.prejoin(work)
@@ -173,6 +183,32 @@ class ValidationSuite:
             )
         )
         return exploded
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _screen_clean(df: DataFrame, screened: list[Unique]) -> set:
+        """One aggregate job screening every screened Unique at once.
+        'exact' compares count vs countDistinct (NULL keys sentineled so
+        they group like the window does) — exact, partial-aggregated, no
+        row shuffle. 'hll' uses approx_count_distinct and treats the table
+        as clean when the approximation is within 3·rsd of the row count —
+        can miss low duplicate rates (advisory; see checks.Unique)."""
+        aggs = []
+        for i, c in enumerate(screened):
+            key = F.concat_ws("\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("<null>")) for k in c.keys])
+            if c.screen == "exact":
+                aggs.append(F.countDistinct(key).alias(f"d{i}"))
+            elif c.screen == "hll":
+                aggs.append(F.approx_count_distinct(key, c.screen_rsd).alias(f"d{i}"))
+            else:
+                raise ValueError(f"unknown screen mode {c.screen!r} on {c.check_id}")
+        row = df.agg(F.count(F.lit(1)).alias("n"), *aggs).first()
+        clean = set()
+        for i, c in enumerate(screened):
+            threshold = row["n"] if c.screen == "exact" else row["n"] * (1 - 3 * c.screen_rsd)
+            if row[f"d{i}"] >= threshold:
+                clean.add(c)
+        return clean
 
     # ------------------------------------------------------------------
     def run(self, df: DataFrame) -> ValidationResult:

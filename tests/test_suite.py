@@ -123,3 +123,39 @@ def test_conditional_null_antecedent_is_a_pass(spark):
     viol = suite.violations(df).collect()
     flagged = {(r["conv_id"], r["turn_idx"]) for r in viol}
     assert flagged == {("purchase", -1.0), ("purchase", None)}
+
+
+def test_screened_unique_skips_exchange_on_clean_table(spark):
+    """Unique(screen='exact') must not plan a row exchange on its keys when
+    the table is duplicate-free — and must still appear as PASS in the
+    verdict matrix. On a dirty table the violations are identical to the
+    unscreened check."""
+    from tag_spark.operators.checks import NotNull, SEV_ERROR, Unique
+
+    def mk_suite(screen):
+        return ValidationSuite(
+            [
+                NotNull("eid_not_null", SEV_ERROR, col="event_id"),
+                Unique("unique_event_id", SEV_ERROR, keys=("event_id",), rank_by=("ts", "__sha1"), screen=screen),
+            ],
+            key_cols=("user_id", "event_id"),
+            hash_col="props",
+        )
+
+    clean = spark.createDataFrame(
+        [(i, i % 7, None, "{}") for i in range(500)], "event_id long, user_id long, ts timestamp, props string"
+    )
+    dirty = clean.union(spark.createDataFrame([(13, 1, None, "{}"), (14, 2, None, "{}")], clean.schema))
+
+    res_clean = mk_suite("exact").run(clean)
+    plan = res_clean.violations._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_id" not in plan, "screened-clean Unique still planned its exchange"
+    verd = {r["check_id"]: r["verdict"] for r in res_clean.verdicts.collect()}
+    assert verd["unique_event_id"] == "PASS"
+
+    dirty_screened = mk_suite("exact").violations(dirty)
+    plan_dirty = dirty_screened._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_id" in plan_dirty, "screen must fall through to the exact window on dup data"
+    got = {(r["check_id"], r["conv_id"], r["turn_idx"]) for r in dirty_screened.collect()}
+    want = {(r["check_id"], r["conv_id"], r["turn_idx"]) for r in mk_suite(None).violations(dirty).collect()}
+    assert got == want and any(c == "unique_event_id" for c, _, _ in got)
