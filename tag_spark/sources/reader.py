@@ -47,7 +47,11 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", stric
     wrongly-typed column aborts the whole read — the engine analog of the
     reference's abort-class header errors (id3v2.go:249-251). Extra columns
     are tolerated and dropped (skip-unknown-frame semantics,
-    id3v2.go:395-396)."""
+    id3v2.go:395-396). ``fmt='jsonl'`` routes through the JSONL reader (the
+    second-ingest-format analog of cmd/check reading an iTunes XML library
+    instead of walking the filesystem, cmd/check/main.go:100-124)."""
+    if fmt == "jsonl":
+        return read_transcripts_jsonl(spark, path, strict=strict)
     df = spark.read.format(fmt).load(path)
     expected = {f.name: f.dataType.simpleString() for f in TRANSCRIPT_SCHEMA.fields}
     actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -56,6 +60,30 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", stric
     if strict and (missing or wrong):
         raise SchemaMismatchError(f"missing={missing} wrong_types={wrong}")
     return df.select(*[F.col(c).cast(expected[c]).alias(c) for c in expected if c in actual])
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """JSONL → canonical transcript frame. Two-phase like the reference's
+    probe-then-parse: a schema-inference probe decides whether the required
+    columns exist at all (strict mode aborts on a missing column — an
+    enforced schema alone would silently null it), then the real scan reads
+    with the canonical schema: FAILFAST in strict mode (a malformed line or
+    mistyped field aborts, id3v2.go:249-251), PERMISSIVE in tolerant mode
+    (bad lines become all-NULL rows for the NotNull checks to flag —
+    padding-skip semantics, id3v2.go:277-280)."""
+    probe = spark.read.option("multiLine", "false").json(path)
+    expected = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    missing = [c for c in expected if c not in probe.columns]
+    if strict and missing:
+        raise SchemaMismatchError(f"missing={missing} wrong_types={{}}")
+    mode = "FAILFAST" if strict else "PERMISSIVE"
+    return (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("mode", mode)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+        .json(path)
+        .select(*expected)
+    )
 
 
 def classify_dialect(df: DataFrame) -> Column:

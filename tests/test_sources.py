@@ -77,3 +77,57 @@ def test_multimodal_roundtrip(spark):
     per = frames.groupBy("asset_id").count()
     assert per.filter(F.col("count") > 4).count() == 0
     assert frames.count() > 0
+
+
+def test_jsonl_roundtrip_same_golden_digest(spark, transcripts, tmp_path):
+    """The JSONL copy of the corpus must validate byte-identically to the
+    parquet copy: same frame digest in, same violations out (dialect
+    round-trip, cmd/check/main.go:100-124 analog)."""
+    from tag_spark.functions.hashing import frame_digest
+    from tag_spark.generate import dim_role, dim_tool
+    from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
+    from tag_spark.sources.reader import read_transcripts
+
+    pq, js = str(tmp_path / "t.parquet"), str(tmp_path / "t.jsonl")
+    transcripts.write.parquet(pq)
+    transcripts.write.json(js)
+    a = read_transcripts(spark, pq, fmt="parquet")
+    b = read_transcripts(spark, js, fmt="jsonl")
+    cols = [f.name for f in a.schema.fields]
+    assert b.schema == a.schema
+    assert frame_digest(b, cols) == frame_digest(a, cols)
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    va = ValidationSuite.stable_violations(suite.violations(a))
+    vb = ValidationSuite.stable_violations(suite.violations(b))
+    vcols = ["check_id", "severity", "conv_id", "turn_idx", "column", "reason", "text_sha1"]
+    assert frame_digest(vb, vcols) == frame_digest(va, vcols)
+
+
+def test_jsonl_strict_aborts_on_missing_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from tag_spark.sources.reader import SchemaMismatchError, read_transcripts_jsonl
+
+    p = str(tmp_path / "bad.jsonl")
+    spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int").write.json(p)
+    with _pytest.raises(SchemaMismatchError):
+        read_transcripts_jsonl(spark, p, strict=True)
+    # tolerant mode reads, missing columns become NULL for the checks to flag
+    df = read_transcripts_jsonl(spark, p, strict=False)
+    row = df.first()
+    assert row["conv_id"] == "c1" and row["role"] is None
+
+
+def test_jsonl_tolerant_turns_malformed_lines_into_null_rows(spark, tmp_path):
+    from tag_spark.sources.reader import read_transcripts_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2024-01-01T00:00:00Z"}\n'
+        "this is not json at all\n"
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo","tool":null,"ts":"2024-01-01T00:01:00Z"}\n'
+    )
+    df = read_transcripts_jsonl(spark, str(p), strict=False)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["conv_id"] is None) == 1  # the corrupt line
