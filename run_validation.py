@@ -50,17 +50,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark(app_name="tag-spark-validate", master=args.master)
     t0 = time.monotonic()
 
+    snapshot = None
     if args.input:
+        from tag_spark.sources.reader import table_snapshot
+
         df = spark.read.parquet(args.input)
+        # lineage pin: the parquet-level snapshot surrogate (or the Iceberg
+        # snapshot id in production). Resume only honors buckets validated
+        # under THIS exact snapshot; any append/overwrite re-validates.
+        snapshot = table_snapshot(spark, args.input)
+        print(f"input snapshot: {snapshot}", flush=True)
     else:
         df = generate_transcripts(spark, n_convs=args.n_convs, seed=args.seed)
 
     suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
-    manifest = CheckpointManifest(spark, f"{args.output}/manifest")
+    manifest = CheckpointManifest(spark, f"{args.output}/manifest", snapshot_id=snapshot)
 
     if args.resume:
-        done = manifest.completed_buckets()
-        df = manifest.filter_pending(df, bucket_fn=suite.bucket_fn, n_buckets=suite.n_buckets)
+        done = manifest.completed_buckets(snapshot_id=snapshot)
+        df = manifest.filter_pending(df, bucket_fn=suite.bucket_fn, n_buckets=suite.n_buckets, snapshot_id=snapshot)
         print(f"resume: skipping {len(done)} completed buckets", flush=True)
 
     if args.salt_block_size:

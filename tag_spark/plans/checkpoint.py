@@ -45,11 +45,22 @@ class CheckpointManifest:
         except Exception:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def completed_buckets(self) -> list[int]:
-        rows = self.read().filter(F.col("status") == "done").select("bucket_id").distinct().collect()
+    def completed_buckets(self, snapshot_id: str | None = None) -> list[int]:
+        """Buckets recorded done — optionally ONLY under the given input
+        snapshot. A resume against a table whose snapshot changed since the
+        manifest was written (append/overwrite/compaction) must re-validate
+        everything: buckets recorded under another (or no) snapshot don't
+        count. Pass the current ``table_snapshot(...)`` / Iceberg snapshot
+        id to enforce that; None keeps the unpinned behavior."""
+        done = self.read().filter(F.col("status") == "done")
+        if snapshot_id is not None:
+            done = done.filter(F.col("snapshot_id") == F.lit(snapshot_id))
+        rows = done.select("bucket_id").distinct().collect()
         return sorted(r["bucket_id"] for r in rows)
 
-    def filter_pending(self, df: DataFrame, conv_col: str = "conv_id", n_buckets: int | None = None, bucket_fn=None) -> DataFrame:
+    def filter_pending(
+        self, df: DataFrame, conv_col: str = "conv_id", n_buckets: int | None = None, bucket_fn=None, snapshot_id: str | None = None
+    ) -> DataFrame:
         """Drop rows whose bucket already completed. Broadcast anti-join on
         the tiny completed-bucket set — prunes at the scan via the pushed
         bucket predicate when the table is bucket-partitioned.
@@ -60,7 +71,7 @@ class CheckpointManifest:
         from tag_spark.operators.suite import bucket_expr
         from tag_spark.schema import N_BUCKETS
 
-        done = self.completed_buckets()
+        done = self.completed_buckets(snapshot_id=snapshot_id)
         if not done:
             return df
         b = (bucket_fn or bucket_expr)(conv_col, n_buckets or N_BUCKETS)

@@ -42,6 +42,33 @@ def open_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(ref)
 
 
+def table_snapshot(spark: SparkSession, path: str) -> str:
+    """Snapshot identity for a path-based table: sha1 over the sorted
+    (file, length, mtime) listing — the parquet-level surrogate for an
+    Iceberg snapshot id (which pins exactly which data files a read saw).
+    Uses the Hadoop FileSystem API, so it works on any FS Spark can reach
+    (local, HDFS, S3A), recursing like Spark's own file index and skipping
+    the same hidden/_metadata files Spark skips. Any append, overwrite or
+    compaction changes the id; CheckpointManifest then refuses to treat
+    buckets validated under the old id as complete (lineage pinning,
+    plans/checkpoint.py)."""
+    import hashlib
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        entries.append(f"{f.getPath().toString()}\x1f{f.getLen()}\x1f{f.getModificationTime()}")
+    digest = hashlib.sha1("\n".join(sorted(entries)).encode()).hexdigest()
+    return f"files-sha1:{digest}"
+
+
 def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = True) -> DataFrame:
     """Scan with the canonical schema enforced. In strict mode a missing or
     wrongly-typed column aborts the whole read — the engine analog of the

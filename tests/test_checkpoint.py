@@ -86,3 +86,37 @@ def test_manifest_metrics_match_verdicts(spark, transcripts):
         expect_err = res.violations.filter(F.col("severity") == "error").count()
         assert total_err == expect_err
         assert man.filter(F.col("snapshot_id") != "snap-xyz").count() == 0
+
+
+def test_snapshot_surrogate_pins_lineage(spark, transcripts, tmp_path):
+    """table_snapshot changes whenever the file listing changes; resume
+    under a changed snapshot treats NOTHING as complete (the Iceberg
+    snapshot-id behavior, surrogate at parquet level)."""
+    import time as _time
+
+    from tag_spark.generate import dim_role, dim_tool
+    from tag_spark.operators.suite import default_transcript_suite
+    from tag_spark.sources.reader import table_snapshot
+
+    data = str(tmp_path / "t")
+    transcripts.write.parquet(data)
+    snap1 = table_snapshot(spark, data)
+    assert snap1 == table_snapshot(spark, data), "snapshot must be stable across calls"
+
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    res = suite.run(spark.read.parquet(data))
+    m = CheckpointManifest(spark, str(tmp_path / "manifest"), snapshot_id=snap1)
+    m.record_run(res)
+
+    # same snapshot: everything done, nothing pending
+    assert len(m.completed_buckets(snapshot_id=snap1)) > 0
+    assert m.filter_pending(spark.read.parquet(data), snapshot_id=snap1).count() == 0
+
+    # table changes (append a file) -> new snapshot -> nothing counts as done
+    _time.sleep(0.01)
+    transcripts.limit(5).write.mode("append").parquet(data)
+    snap2 = table_snapshot(spark, data)
+    assert snap2 != snap1
+    assert m.completed_buckets(snapshot_id=snap2) == []
+    pending = m.filter_pending(spark.read.parquet(data), snapshot_id=snap2)
+    assert pending.count() == spark.read.parquet(data).count()
