@@ -54,14 +54,16 @@ def utf16_parity_ok(bin_col: Column | str) -> Column:
     return b.isNull() | (F.length(b) % 2 == 0)
 
 
-def bom_byte_order(bin_col: Column | str) -> Column:
-    """P10: FE FF → BE, FF FE → LE, else null (caller applies the
-    configurable default, id3v2frames.go:388-407)."""
+def bom_byte_order(bin_col: Column | str, default: str | None = None) -> Column:
+    """P10: FE FF → BE, FF FE → LE, else ``default`` — the configurable
+    BOM-less fallback (`DefaultUTF16WithBOMByteOrder`, id3v2frames.go:18,
+    388-407: a package-level var because real files omit the BOM). None
+    keeps the strict behavior (caller decides / flags the anomaly)."""
     b = _c(bin_col)
     return (
         F.when(F.substring(b, 1, 2) == F.lit(b"\xfe\xff"), F.lit("BE"))
         .when(F.substring(b, 1, 2) == F.lit(b"\xff\xfe"), F.lit("LE"))
-        .otherwise(F.lit(None).cast("string"))
+        .otherwise(F.lit(default).cast("string"))
     )
 
 

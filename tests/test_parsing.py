@@ -59,6 +59,9 @@ def test_utf16_parity_and_bom(spark):
     assert _one(spark, P.bom_byte_order("v"), b"\xfe\xffxx", "binary") == "BE"
     assert _one(spark, P.bom_byte_order("v"), b"\xff\xfexx", "binary") == "LE"
     assert _one(spark, P.bom_byte_order("v"), b"none", "binary") is None
+    # configurable BOM-less default (DefaultUTF16WithBOMByteOrder analog)
+    assert _one(spark, P.bom_byte_order("v", default="LE"), b"none", "binary") == "LE"
+    assert _one(spark, P.bom_byte_order("v", default="LE"), b"\xfe\xffxx", "binary") == "BE"
 
 
 def test_split_with_repair(spark):
