@@ -774,6 +774,62 @@ LIMIT {k}
 """
 
 
+def _asset_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end WITH an oracle: documents become
+    binary assets (ASCII 'RIFF' magic + utf-8 text bytes — chosen so DuckDB,
+    whose sha256 is VARCHAR-only, hashes the identical byte stream), flow
+    through the real mapInPandas Arrow-batch feature extractor (stub decode,
+    honestly labeled), and the magic-byte sniffer classifies the payload.
+    Verifies batch shape, binary round-trip, and the sniff dispatch."""
+    from tag_spark.operators.multimodal import decode_image_features, sniff_kind
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.concat(F.lit("RIFF"), F.coalesce(F.col("text"), F.lit(""))), "UTF-8").alias("payload"),
+    )
+    feat = decode_image_features(assets)
+    sniffed = assets.select("asset_id", sniff_kind().alias("kind_sniffed"))
+    return feat.join(sniffed, "asset_id").select("asset_id", "kind_sniffed", "n_bytes", "content_sha256", "decoder")
+
+
+_ASSET_BINARY_PROFILE_SQL = """
+SELECT doc_id AS asset_id, 'wav' AS kind_sniffed,
+       CAST(4 + octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       sha256('RIFF' || coalesce(text, '')) AS content_sha256,
+       'stub' AS decoder
+FROM documents
+"""
+
+
+def _stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-bucket quantiles (the t-digest sketch's exact companion —
+    percentile() is Spark's exact sorting implementation with linear
+    interpolation, same definition as DuckDB's quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy(F.pmod(F.col("l_orderkey"), F.lit(8)).cast("long").alias("bucket_id"))
+        .agg(q.alias("q"))
+        .select(
+            "bucket_id",
+            F.round(F.element_at("q", 1), 6).alias("p25"),
+            F.round(F.element_at("q", 2), 6).alias("p50"),
+            F.round(F.element_at("q", 3), 6).alias("p75"),
+        )
+    )
+
+
+_STATS_QUANTILES_SQL = """
+SELECT CAST(l_orderkey % 8 AS BIGINT) AS bucket_id,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75
+FROM lineitem GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_violations": _events_violations,
@@ -804,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
+        "asset_binary_profile": _asset_binary_profile,
+        "stats_quantiles_exact": _stats_quantiles_exact,
     }
 
 
@@ -882,6 +940,8 @@ def oracle_sql() -> dict[str, str]:
         # sample -> L2 assignment -> nprobe probe -> exact re-rank), so it
         # verifies the approximate semantics themselves, not just recall
         "ivf_ann_topk": _ivf_oracle(n_cells=16, nprobe=4, k=10),
+        "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
+        "stats_quantiles_exact": _STATS_QUANTILES_SQL,
     }
 
 

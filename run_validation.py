@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", default=None, help="transcripts parquet path (default: generate synthetic)")
+    p.add_argument("--input", default=None, help="transcripts table path (default: generate synthetic)")
+    p.add_argument("--format", default="parquet", choices=["parquet", "jsonl"], help="input format for --input")
     p.add_argument("--output", default="/tmp/tag_spark_out", help="output directory")
     p.add_argument("--n-convs", type=int, default=10_000, help="synthetic conversations when no --input")
     p.add_argument("--seed", type=int, default=42)
@@ -52,9 +53,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     snapshot = None
     if args.input:
-        from tag_spark.sources.reader import table_snapshot
+        from tag_spark.sources.reader import read_transcripts, table_snapshot
 
-        df = spark.read.parquet(args.input)
+        df = read_transcripts(spark, args.input, fmt=args.format)
         # lineage pin: the parquet-level snapshot surrogate (or the Iceberg
         # snapshot id in production). Resume only honors buckets validated
         # under THIS exact snapshot; any append/overwrite re-validates.
