@@ -212,3 +212,63 @@ def mime_to_ext(col: Column | str) -> Column:
 
 def has_magic(bin_col: Column | str, magic: bytes) -> Column:
     return F.substring(_c(bin_col), 1, len(magic)) == F.lit(magic)
+
+
+# --- F17: OGG page CRC-32 (ogg.go:20-47) --------------------------------------
+
+# The OGG spec CRC is MSB-first, poly 0x04c11db7, init 0, no reflection, no
+# final xor — which matches neither Spark's builtin crc32 nor zlib (both are
+# the reflected 0xEDB88320 variant), so this is the one §2.7 function that
+# needs a UDF. The standard byte-at-a-time table (public CRC construction):
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc_table():
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        import numpy as np
+
+        t = []
+        for i in range(256):
+            crc = i << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000 else crc << 1) & 0xFFFFFFFF
+            t.append(crc)
+        _OGG_CRC_TABLE = np.array(t, dtype=np.uint32)
+    return _OGG_CRC_TABLE
+
+
+def ogg_crc32(col: Column | str) -> Column:
+    """OGG page checksum over a binary column, vectorized ACROSS ROWS: the
+    CRC recurrence is sequential per payload, so the batch is processed
+    column-of-bytes at a time — one numpy table-lookup step per byte
+    POSITION updates every row's running CRC at once (O(max_len) vector ops
+    per Arrow batch, no per-row Python loop). NULL payloads yield NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _crc_fn(payloads):
+        table = _ogg_crc_table()
+        vals = payloads.tolist()
+        n = len(vals)
+        lens = np.array([len(b) if b is not None else -1 for b in vals], dtype=np.int64)
+        max_len = int(lens.max()) if n else 0
+        padded = np.zeros((n, max(max_len, 1)), dtype=np.uint8)
+        for r, b in enumerate(vals):  # batch assembly only; CRC math below is columnar
+            if b:
+                padded[r, : len(b)] = np.frombuffer(bytes(b), dtype=np.uint8)
+        crc = np.zeros(n, dtype=np.uint32)
+        for j in range(max_len):
+            live = lens > j
+            idx = ((crc[live] >> 24) ^ padded[live, j]) & 0xFF
+            crc[live] = ((crc[live] << 8) ^ table[idx]).astype(np.uint32)
+        out = crc.astype("int64")
+        return pd.Series([None if L < 0 else int(v) for L, v in zip(lens, out)], dtype="Int64")
+
+    # module uses `from __future__ import annotations` (stringified hints),
+    # which pandas_udf's hint inspection can't resolve — set real objects
+    _crc_fn.__annotations__ = {"payloads": pd.Series, "return": pd.Series}
+    _crc = pandas_udf(_crc_fn, "long")
+    return _crc(_c(col))

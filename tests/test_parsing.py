@@ -112,3 +112,24 @@ def test_base64(spark):
 
     payload = base64.b64encode(b"picture-bytes").decode()
     assert bytes(_one(spark, P.decode_base64("v"), payload)) == b"picture-bytes"
+
+
+def test_ogg_crc32_matches_bitwise_reference(spark):
+    """F17: the OGG CRC (MSB-first, poly 0x04c11db7, init 0, no reflection,
+    no final xor — ogg.go:20-47) against an independent bit-by-bit
+    implementation, including empty and NULL payloads and length skew
+    within one batch."""
+
+    def ref_crc(data: bytes) -> int:  # independent bit-serial CRC
+        crc = 0
+        for byte in data:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000 else crc << 1) & 0xFFFFFFFF
+        return crc
+
+    payloads = [b"", b"OggS\x00\x02", b"123456789", bytes(range(256)), b"x" * 1000, None]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)], "i long, v binary")
+    got = {r["i"]: r["crc"] for r in df.select("i", P.ogg_crc32("v").alias("crc")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == (None if p is None else ref_crc(p)), (i, p)
