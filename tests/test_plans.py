@@ -1,0 +1,51 @@
+"""Physical-plan property pins — the 100 TB claims as assertions, not prose.
+
+If a refactor re-introduces a second exchange, breaks the shared-Sort
+prefix rule, or stops pruning the parquet scan, these fail loudly."""
+
+from pyspark.sql import functions as F
+
+from tag_spark.generate import dim_role, dim_tool
+from tag_spark.operators.suite import default_transcript_suite
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_suite_plans_one_exchange_one_sort(spark, transcripts):
+    """The fused 15-check suite: ONE data exchange (conv_id), ONE Sort
+    shared by all three window checks (prefix rule), dims broadcast."""
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    plan = _plan(suite.violations(transcripts))
+    # exactly one FACT-side exchange (the conv_id repartition); the only
+    # other hashpartitioning exchanges allowed are the 4/20-row dim dedups
+    # feeding the broadcasts (they shuffle the dimension, never the facts)
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+    fact_exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    for ln in fact_exchanges:
+        assert "conv_id" in ln or "role#" in ln or "tool#" in ln, f"unexpected exchange: {ln}"
+    n_sort = plan.count("+- Sort ")
+    assert n_sort == 1, f"window checks must share ONE Sort, got {n_sort}:\n{plan}"
+    assert plan.count("BroadcastHashJoin") == 2  # role + tool dims
+
+
+def test_suite_text_never_shuffles(spark, transcripts):
+    """The wide text payload is hashed map-side and dropped before the
+    exchange — the shuffled projection must not contain the text column."""
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+    plan = _plan(suite.violations(transcripts))
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    # everything above the Exchange in the printed tree consumes its output;
+    # the text column must not appear there (only __sha1 and lean columns)
+    assert "text#" not in pre, f"text payload leaked through the shuffle:\n{pre}"
+
+
+def test_scan_column_pruning_and_filter_pushdown(spark):
+    """Catalyst must prune the parquet scan to referenced columns and push
+    comparison filters into it (S6 selective-read analog)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.filter(F.col("doc_id") > 100).groupBy((F.length("text") / 100).cast("int")).count()
+    plan = _plan(q)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan, plan
