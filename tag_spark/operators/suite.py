@@ -80,7 +80,7 @@ class ValidationSuite:
         self.bucket_fn = bucket_fn or bucket_expr
 
     # ------------------------------------------------------------------
-    def violations(self, df: DataFrame, shuffle_for_windows: bool = True, carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    def violations(self, df: DataFrame, shuffle_for_windows: bool = True, carry_cols: tuple[str, ...] = (), observe=None) -> DataFrame:
         """All violation rows in one fused plan (unordered — order at write).
 
         Two-stage shape, chosen for 100 TB inputs:
@@ -142,6 +142,15 @@ class ValidationSuite:
             self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
             F.array(*[fail_struct(c) for c in row_checks]).alias("__rowfails"),
         )
+
+        if observe is not None:
+            # per-bucket row counts collected DURING this job (CollectMetrics,
+            # map-side) — run() then never re-scans the fact table just to
+            # count rows per bucket. 64 lightweight count aggregates.
+            stage1 = stage1.observe(
+                observe,
+                *[F.count(F.when(F.col("bucket_id") == i, 1)).alias(f"b{i}") for i in range(self.n_buckets)],
+            )
 
         if window_checks and shuffle_for_windows:
             stage1 = stage1.repartition(F.col(conv_col))
@@ -212,24 +221,47 @@ class ValidationSuite:
 
     # ------------------------------------------------------------------
     def run(self, df: DataFrame) -> ValidationResult:
-        """Violations are persisted (MEMORY_AND_DISK): they are small relative
-        to the input, and both the verdict matrix and any sink consume them —
-        without the persist, materializing verdicts would re-run the whole
-        scan+shuffle pipeline a second time."""
+        """ONE pass over the fact table: violations are persisted
+        (MEMORY_AND_DISK, small relative to input) and the per-bucket row
+        counts ride along as observed metrics — materializing here both
+        fills the cache and harvests the counts, so neither the verdict
+        matrix nor any sink re-runs the scan+shuffle pipeline or re-scans
+        the input just to count rows."""
+        from pyspark.sql import Observation
         from pyspark.storagelevel import StorageLevel
 
-        violations = self.violations(df).persist(StorageLevel.MEMORY_AND_DISK)
-        return self.assemble(df, violations)
+        obs = Observation()
+        violations = self.violations(df, observe=obs).persist(StorageLevel.MEMORY_AND_DISK)
+        violations.count()  # one action: materializes the cache + the metrics
+        try:
+            row = obs.get
+            counts = [(i, row[f"b{i}"]) for i in range(self.n_buckets) if row[f"b{i}"] > 0]
+            bucket_counts = df.sparkSession.createDataFrame(counts, "bucket_id int, rows_checked long")
+        except Exception:
+            # the optimizer can eliminate the CollectMetrics node entirely on
+            # degenerate (e.g. provably-empty post-resume) plans — fall back
+            # to the one-column scan rather than fail the run
+            bucket_counts = None
+        return self.assemble(df, violations, bucket_counts=bucket_counts)
 
-    def assemble(self, df: DataFrame, violations: DataFrame, extra_checks: dict[str, str] | None = None) -> ValidationResult:
+    def assemble(
+        self,
+        df: DataFrame,
+        violations: DataFrame,
+        extra_checks: dict[str, str] | None = None,
+        bucket_counts: DataFrame | None = None,
+    ) -> ValidationResult:
         """Build the verdict matrix from an (already computed) violation
         frame — lets callers mix in externally-produced violations (e.g. the
         salted ordering path) and still get one coherent matrix.
-        ``extra_checks`` maps external check_id -> severity."""
+        ``extra_checks`` maps external check_id -> severity. Without
+        ``bucket_counts`` (observed during the violations job in run()),
+        the per-bucket row counts cost one column-pruned scan of df."""
         conv_col = self.key_cols[0]
-        bucket_counts = df.groupBy(self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id")).agg(
-            F.count(F.lit(1)).alias("rows_checked")
-        )
+        if bucket_counts is None:
+            bucket_counts = df.groupBy(self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id")).agg(
+                F.count(F.lit(1)).alias("rows_checked")
+            )
 
         sev = {c.check_id: c.severity for c in self.checks}
         for cid, s in (extra_checks or {}).items():
