@@ -69,16 +69,79 @@ def histogram(df: DataFrame, expr: Column, metric: str, lo: float, hi: float, n_
     )
 
 
+def multi_histogram(df: DataFrame, specs: list[tuple[str, Column, float, float, int]]) -> DataFrame:
+    """Histogram MANY metrics in ONE scan and ONE aggregate: the bucket
+    columns for every metric are projected once, then GROUPING SETS
+    ((b_m0), (b_m1), ...) computes all marginal histograms in a single
+    hash-aggregate pass (output is linear — Σ n_buckets rows — unlike a
+    cross-bucket groupBy, and the input is never widened like an explode
+    would). A union of per-metric histogram() calls re-scans the fact table
+    per metric; an exploded (metric, bucket) stream doubles the aggregate
+    input per metric — both measured slower. Per-metric NULL independence
+    falls out: a row with a null metric value lands in that metric's
+    null-bucket output row, which is dropped, without affecting its other
+    metrics."""
+    n = len(specs)
+    buckets = []
+    for metric, expr, lo, hi, n_buckets in specs:
+        w = (hi - lo) / n_buckets
+        x = expr.cast("double")
+        clamped = F.least(F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)), F.lit(n_buckets - 1))
+        buckets.append(F.when(x.isNotNull(), clamped).cast("int").alias(f"__b{len(buckets)}"))
+    sel = df.select(*buckets)
+    gcols = [F.col(f"__b{i}") for i in range(n)]
+    gs = sel.groupingSets([[c] for c in gcols], *gcols).agg(
+        F.count(F.lit(1)).alias("count"), F.grouping_id().alias("__gid")
+    )
+    # grouping_id bit for column i is 0 when that column is grouped: the
+    # set {__bi} has gid = (2^n - 1) & ~(1 << (n-1-i)). Metric identity,
+    # bucket and edges all decode from gid in ONE projection — a per-metric
+    # filter+union would duplicate the whole scan+aggregate per branch
+    # (measured: the optimizer does not reuse the shared subplan).
+    metric_c = bucket_c = lo_c = w_c = None
+    for i, (metric, _, lo, hi, n_buckets) in enumerate(specs):
+        gid = ((1 << n) - 1) & ~(1 << (n - 1 - i))
+        cond = F.col("__gid") == gid
+        w = (hi - lo) / n_buckets
+
+        def chain(prev, value):
+            return F.when(cond, value) if prev is None else prev.when(cond, value)
+
+        metric_c = chain(metric_c, F.lit(metric))
+        bucket_c = chain(bucket_c, F.col(f"__b{i}"))
+        lo_c = chain(lo_c, F.lit(lo))
+        w_c = chain(w_c, F.lit(w))
+    return (
+        gs.select(
+            metric_c.alias("metric"),
+            bucket_c.alias("bucket"),
+            (lo_c + bucket_c * w_c).alias("lo"),
+            (lo_c + (bucket_c + 1) * w_c).alias("hi"),
+            F.col("count").cast("long").alias("count"),
+        )
+        .where(F.col("bucket").isNotNull())
+    )
+
+
 def transcript_baseline(df: DataFrame, text_cap: int = 20_000) -> DataFrame:
-    """The two north_star metrics: turn-length and ts-hour histograms."""
-    h1 = histogram(df, F.length("text"), "text_len", 0.0, float(text_cap), 40)
-    h2 = histogram(df, F.hour("ts"), "ts_hour", 0.0, 24.0, 24)
-    return h1.unionByName(h2)
+    """The two north_star metrics: turn-length and ts-hour histograms —
+    both from ONE scan of the fact table."""
+    return multi_histogram(
+        df,
+        [
+            ("text_len", F.length("text"), 0.0, float(text_cap), 40),
+            ("ts_hour", F.hour("ts"), 0.0, 24.0, 24),
+        ],
+    )
 
 
-def _collect_hist(hist: DataFrame, metric: str) -> dict[int, int]:
-    rows = hist.filter(F.col("metric") == metric).select("bucket", "count").collect()
-    return {r["bucket"]: r["count"] for r in rows}
+def _collect_hists(hist: DataFrame) -> dict[str, dict[int, int]]:
+    """ALL metrics in one job — per-metric filter+collect would re-run the
+    (fact-table-sized) histogram plan once per metric."""
+    out: dict[str, dict[int, int]] = {}
+    for r in hist.select("metric", "bucket", "count").collect():
+        out.setdefault(r["metric"], {})[r["bucket"]] = r["count"]
+    return out
 
 
 def psi_ks(base: dict[int, int], cur: dict[int, int], eps: float = 1e-6) -> tuple[float, float, int, int]:
@@ -106,11 +169,13 @@ def drift_check(
     psi_threshold: float = DEFAULT_PSI_THRESHOLD,
 ) -> DataFrame:
     """Compare two histogram frames metric-by-metric → one drift verdict row
-    per metric. Histograms are bounded (≤ dozens of rows) so the collect is
-    O(buckets), independent of table size."""
-    metrics = sorted({r["metric"] for r in baseline_hist.select("metric").distinct().collect()})
+    per metric. Exactly TWO jobs (one collect per frame — each frame's plan
+    may reach back to the fact table, so per-metric collects would multiply
+    full scans); the PSI/KS math runs on ≤ n_buckets entries driver-side."""
+    base_all = _collect_hists(baseline_hist)
+    cur_all = _collect_hists(current_hist)
     out = []
-    for m in metrics:
-        psi, ks, nb, nc = psi_ks(_collect_hist(baseline_hist, m), _collect_hist(current_hist, m))
+    for m in sorted(set(base_all) | set(cur_all)):
+        psi, ks, nb, nc = psi_ks(base_all.get(m, {}), cur_all.get(m, {}))
         out.append((m, float(psi), float(ks), nb, nc, bool(psi > psi_threshold)))
     return spark.createDataFrame(out, DRIFT_SCHEMA)

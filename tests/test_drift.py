@@ -42,3 +42,23 @@ def test_psi_ks_math():
     psi2, ks2, _, _ = psi_ks(base, skew)
     assert psi2 > 0.25
     assert 0.48 < ks2 <= 0.5
+
+
+def test_multi_histogram_equals_per_metric_histograms(spark, transcripts):
+    """The one-scan multi-metric histogram must agree exactly with the
+    per-metric histogram() calls it replaces."""
+    from pyspark.sql import functions as F
+
+    from tag_spark.operators.drift import histogram, multi_histogram
+
+    multi = multi_histogram(
+        transcripts,
+        [("text_len", F.length("text"), 0.0, 20000.0, 40), ("ts_hour", F.hour("ts"), 0.0, 24.0, 24)],
+    )
+    single = histogram(transcripts, F.length("text"), "text_len", 0.0, 20000.0, 40).unionByName(
+        histogram(transcripts, F.hour("ts"), "ts_hour", 0.0, 24.0, 24)
+    )
+    key = lambda r: (r["metric"], r["bucket"])  # noqa: E731
+    got = {key(r): (round(r["lo"], 9), round(r["hi"], 9), r["count"]) for r in multi.collect()}
+    want = {key(r): (round(r["lo"], 9), round(r["hi"], 9), r["count"]) for r in single.collect()}
+    assert got == want
