@@ -83,3 +83,42 @@ def test_adversarial_rows_violate_never_crash(spark):
     v = res.violations.collect()  # must not raise
     assert len(v) > 0
     assert res.verdicts.filter(F.col("verdict") == "FAIL").count() > 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # conv
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # idx
+            st.one_of(st.none(), st.text(max_size=12)),  # text
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_conversation_digest_md5_matches_python_reference(_spark, rows):
+    """Property: the md5 conversation digest equals an independent pure-
+    Python recomputation for ANY data shape — null idx/text, duplicate idx,
+    arbitrary unicode — i.e. the exact contract the DuckDB oracle relies on."""
+    import hashlib
+
+    from tag_spark.functions.hashing import conversation_digest
+
+    df = _spark.createDataFrame(rows, "conv_id int, turn_idx int, text string")
+    got = {r["conv_id"]: (r["conv_md5"], r["n_turns"]) for r in conversation_digest(df, algo="md5").collect()}
+
+    SEP = "\x1f"
+
+    def row_h(c, i, t):
+        parts = [str(c), "<null>" if i is None else str(i), "<null>" if t is None else t]
+        return hashlib.md5(SEP.join(parts).encode()).hexdigest()
+
+    want = {}
+    by_conv = {}
+    for c, i, t in rows:
+        by_conv.setdefault(c, []).append((-(1 << 62) if i is None else i, row_h(c, i, t)))
+    for c, hs in by_conv.items():
+        ordered = [h for _, h in sorted(hs)]
+        want[c] = (hashlib.md5(SEP.join(ordered).encode()).hexdigest(), len(hs))
+    assert got == want
