@@ -349,10 +349,25 @@ class IvfIndex:
         self.id_col, self.vec_col, self.n_cells = id_col, vec_col, n_cells
         assigned, self.centroids = ivf_assign(df, n_cells, id_col, vec_col)
         if path is not None:
+            import hashlib
+            import json
             import os
 
-            if not os.path.exists(f"{path}/_SUCCESS"):
+            # the on-disk assignment is only valid for THE data that built
+            # it: centroids are recomputed from df every time, so a stale
+            # directory (same path, different corpus) would probe the wrong
+            # cells silently. The centroid fingerprint rides along as an
+            # underscore-prefixed file (ignored by Spark's reader).
+            fp = hashlib.sha1(json.dumps(self.centroids).encode()).hexdigest()
+            meta = f"{path}/_ivf_centroids.json"
+            stale = True
+            if os.path.exists(f"{path}/_SUCCESS") and os.path.exists(meta):
+                with open(meta) as f:
+                    stale = json.load(f).get("fingerprint") != fp
+            if stale:
                 assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+                with open(meta, "w") as f:
+                    json.dump({"fingerprint": fp, "n_cells": n_cells}, f)
             self.assigned = df.sparkSession.read.parquet(path)
         else:
             self.assigned = assigned.persist()

@@ -114,3 +114,22 @@ def test_batched_ann_matches_exact_batch(emb, spark):
     ivf = IvfIndex(emb, n_cells=8)
     got_ivf = {(r.query_id, r.vec_id) for r in ivf.topk_batch(queries, k=5, nprobe=8).collect()}
     assert got_ivf == exact
+
+
+def test_ivf_index_rebuilds_on_stale_path(emb, qvec, tmp_path):
+    """A path built from DIFFERENT data must be rebuilt, not silently
+    reused with fresh centroids (probes would hit the wrong cells)."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    p = str(tmp_path / "ivf")
+    IvfIndex(emb.filter("vec_id < 20"), n_cells=4, path=p)  # stale corpus
+    idx = IvfIndex(emb, n_cells=4, path=p)  # full corpus -> must rebuild
+    got = idx.topk(qvec, k=5, nprobe=4).collect()  # nprobe=all -> exact
+    exact = cosine_topk(emb, qvec, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    # and an up-to-date path is NOT rewritten (mtime unchanged)
+    import os
+
+    m1 = os.path.getmtime(f"{p}/_ivf_centroids.json")
+    IvfIndex(emb, n_cells=4, path=p)
+    assert os.path.getmtime(f"{p}/_ivf_centroids.json") == m1
