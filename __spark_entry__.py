@@ -830,6 +830,71 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _events_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL drift pipeline oracled end-to-end — one-scan multi-metric
+    histograms (GROUPING SETS) per split, then the PSI + KS math itself,
+    which DuckDB recomputes from raw rows: p/q eps-clamped at 1e-6 for PSI,
+    raw cumulative proportions for KS, bucket union via full outer join."""
+    from tag_spark.operators.drift import drift_check, multi_histogram
+
+    e = _t(spark, sf_dir, "events")
+    specs = [
+        ("value", F.col("value"), 0.0, 100.0, 20),
+        ("props_len", F.length("props"), 0.0, 20.0, 10),
+    ]
+    base = multi_histogram(e.filter(F.col("user_id") % 2 == 0), specs)
+    cur = multi_histogram(e.filter(F.col("user_id") % 2 != 0), specs)
+    out = drift_check(spark, base, cur)
+    return out.select(
+        "metric", F.round("psi", 6).alias("psi"), F.round("ks", 6).alias("ks"), "n_base", "n_cur", "drifted"
+    )
+
+
+def _events_drift_oracle() -> str:
+    hist = """
+  SELECT metric, CAST(least(greatest(floor((x - lo) / w), 0), nb - 1) AS INT) AS bucket, count(*) AS c
+  FROM (
+    SELECT 'value' AS metric, CAST(value AS DOUBLE) AS x, 0.0 AS lo, 5.0 AS w, 20 AS nb
+    FROM events WHERE user_id % 2 {parity} 0 AND value IS NOT NULL
+    UNION ALL
+    SELECT 'props_len', CAST(length(props) AS DOUBLE), 0.0, 2.0, 10
+    FROM events WHERE user_id % 2 {parity} 0 AND length(props) IS NOT NULL
+  ) GROUP BY 1, 2
+"""
+    return f"""
+WITH hb AS ({hist.format(parity="=")}),
+hc AS ({hist.format(parity="<>")}),
+nb AS (SELECT metric, sum(c) AS n FROM hb GROUP BY 1),
+nc AS (SELECT metric, sum(c) AS n FROM hc GROUP BY 1),
+joined AS (
+  SELECT coalesce(hb.metric, hc.metric) AS metric,
+         coalesce(hb.bucket, hc.bucket) AS bucket,
+         coalesce(hb.c, 0) AS cb, coalesce(hc.c, 0) AS cc
+  FROM hb FULL OUTER JOIN hc ON hb.metric = hc.metric AND hb.bucket = hc.bucket
+),
+prop AS (
+  SELECT j.metric, j.bucket,
+         j.cb * 1.0 / nb.n AS p_raw, j.cc * 1.0 / nc.n AS q_raw,
+         greatest(j.cb * 1.0 / nb.n, 1e-6) AS p, greatest(j.cc * 1.0 / nc.n, 1e-6) AS q,
+         nb.n AS n_base, nc.n AS n_cur
+  FROM joined j JOIN nb ON nb.metric = j.metric JOIN nc ON nc.metric = j.metric
+),
+cum AS (
+  SELECT metric, bucket, p, q, n_base, n_cur,
+         sum(p_raw) OVER (PARTITION BY metric ORDER BY bucket) AS cp,
+         sum(q_raw) OVER (PARTITION BY metric ORDER BY bucket) AS cq
+  FROM prop
+)
+SELECT metric,
+       round(sum((q - p) * ln(q / p)), 6) AS psi,
+       round(max(abs(cp - cq)), 6) AS ks,
+       CAST(min(n_base) AS BIGINT) AS n_base,
+       CAST(min(n_cur) AS BIGINT) AS n_cur,
+       (sum((q - p) * ln(q / p)) > 0.25) AS drifted
+FROM cum GROUP BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_violations": _events_violations,
@@ -862,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "asset_binary_profile": _asset_binary_profile,
         "stats_quantiles_exact": _stats_quantiles_exact,
+        "events_drift_check": _events_drift_check,
     }
 
 
@@ -942,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_oracle(n_cells=16, nprobe=4, k=10),
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
+        "events_drift_check": _events_drift_oracle(),
     }
 
 
