@@ -895,6 +895,48 @@ FROM cum GROUP BY metric
 """
 
 
+def _declared_turns_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 declared-vs-actual, oracled: a metadata dim derived from events
+    with planted over/under declarations, users missing from metadata, and
+    one phantom declared-but-absent conversation (the truncated-comment
+    abort case, vorbis.go:55-58). Violation reasons compared verbatim."""
+    from tag_spark.operators.declared import declared_count_violations
+
+    e = _t(spark, sf_dir, "events")
+    actual = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("a"))
+    declared = (
+        F.col("a")
+        + F.when(F.col("user_id") % 7 == 3, 1).otherwise(0)
+        - F.when(F.col("user_id") % 11 == 5, 1).otherwise(0)
+    )
+    meta = actual.filter(F.col("user_id") % 13 != 7).select("user_id", declared.cast("long").alias("declared_turns"))
+    phantom = spark.createDataFrame([(999999, 5)], "user_id long, declared_turns long")
+    v = declared_count_violations(e, meta.unionByName(phantom), conv_col="user_id")
+    return v.select("check_id", "severity", F.col("conv_id").cast("long").alias("conv_id"), "reason")
+
+
+_DECLARED_TURNS_SQL = """
+WITH actual AS (SELECT user_id, count(*) AS a FROM events GROUP BY 1),
+meta AS (
+  SELECT user_id,
+         a + (CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END)
+           - (CASE WHEN user_id % 11 = 5 THEN 1 ELSE 0 END) AS d
+  FROM actual WHERE user_id % 13 <> 7
+  UNION ALL SELECT 999999, 5
+),
+j AS (
+  SELECT coalesce(actual.user_id, meta.user_id) AS uid,
+         coalesce(actual.a, 0) AS found, meta.d AS d
+  FROM actual FULL OUTER JOIN meta ON actual.user_id = meta.user_id
+)
+SELECT 'declared_turn_count' AS check_id, 'error' AS severity,
+       CAST(uid AS BIGINT) AS conv_id,
+       CASE WHEN d IS NULL THEN 'conversation missing from metadata; actual=' || found
+            ELSE 'declared ' || d || ' turns, found ' || found END AS reason
+FROM j WHERE d IS NULL OR found <> d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_violations": _events_violations,
@@ -928,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_binary_profile": _asset_binary_profile,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
+        "declared_turns_check": _declared_turns_check,
     }
 
 
@@ -1009,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),
+        "declared_turns_check": _DECLARED_TURNS_SQL,
     }
 
 
