@@ -895,6 +895,42 @@ FROM cum GROUP BY metric
 """
 
 
+def _transcript_violations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW path oracled: the salted two-phase window (bounded task
+    size, boundary-row carries) over the same derived transcript view,
+    with block_size=16 so nearly every conversation spans many blocks and
+    every block boundary exercises a carry. The oracle is the plain
+    global-window SQL — byte-equality here proves the salted rewrite is
+    semantically invisible, on real data, to an independent engine."""
+    from tag_spark.operators.ordering import salted_order_violations
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    tview = spark.sql(_events_as_transcripts_sql("TIMESTAMP_NTZ"))
+    v = salted_order_violations(tview, block_size=16)
+    return v.select("check_id", "severity", "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"))
+
+
+def _transcript_salted_oracle() -> str:
+    return f"""
+WITH tview AS ({_events_as_transcripts_sql("TIMESTAMP")}),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST) AS prev_idx,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST) AS prev_ts,
+         count(*) OVER (PARTITION BY conv_id, turn_idx) AS dup_c
+  FROM tview
+), viol AS (
+    SELECT 'unique_turn' AS check_id, 'error' AS severity, conv_id, turn_idx FROM w WHERE dup_c > 1
+  UNION ALL SELECT 'turn_contiguous', 'error', conv_id, turn_idx FROM w
+    WHERE NOT coalesce((prev_idx IS NOT NULL OR turn_idx = 0)
+                   AND (prev_idx IS NULL OR turn_idx = prev_idx + 1 OR turn_idx = prev_idx), FALSE)
+  UNION ALL SELECT 'ts_monotone', 'error', conv_id, turn_idx FROM w
+    WHERE prev_ts IS NOT NULL AND ts IS NOT NULL AND ts < prev_ts
+)
+SELECT check_id, severity, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM viol
+"""
+
+
 def _declared_turns_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 declared-vs-actual, oracled: a metadata dim derived from events
     with planted over/under declarations, users missing from metadata, and
@@ -971,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
         "declared_turns_check": _declared_turns_check,
+        "transcript_violations_salted": _transcript_violations_salted,
     }
 
 
@@ -1053,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),
         "declared_turns_check": _DECLARED_TURNS_SQL,
+        "transcript_violations_salted": _transcript_salted_oracle(),
     }
 
 
