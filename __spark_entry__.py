@@ -895,6 +895,61 @@ FROM cum GROUP BY metric
 """
 
 
+def _payload_digests_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 metadata-invariant digest, md5 variant: per-user ordered digest
+    over ONLY (event_type, value) — changing any other column must not move
+    it — recomputed exactly by the oracle."""
+    from tag_spark.functions.hashing import column_subset_digest
+
+    e = _t(spark, sf_dir, "events")
+    return column_subset_digest(e, ["event_type", "value"], conv_col="user_id", idx_col="event_id", algo="md5")
+
+
+_PAYLOAD_DIGESTS_SQL = """
+WITH t AS (
+  SELECT user_id,
+         coalesce(CAST(event_id AS BIGINT), -4611686018427387904) AS ord,
+         md5(coalesce(event_type, '<null>') || chr(31)
+          || coalesce(CAST(value AS VARCHAR), '<null>')) AS h
+  FROM events)
+SELECT user_id, md5(string_agg(h, chr(31) ORDER BY ord, h)) AS payload_md5
+FROM t GROUP BY user_id
+"""
+
+
+def _exclusion_digests_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 both-ends exclusion digest, md5 variant: per-user digest skipping
+    the first 2 and last 1 events in event_id order (SumFLAC/SumOGG shape,
+    sum.go:169-215) — the oracle replays the slice with row_number from
+    both ends."""
+    from tag_spark.functions.hashing import digest_excluding_edges
+
+    e = _t(spark, sf_dir, "events")
+    return digest_excluding_edges(
+        e, n_head=2, n_tail=1, conv_col="user_id", idx_col="event_id", text_col="props", algo="md5"
+    )
+
+
+_EXCLUSION_DIGESTS_SQL = """
+WITH t AS (
+  SELECT user_id,
+         coalesce(CAST(event_id AS BIGINT), -4611686018427387904) AS ord,
+         md5(coalesce(CAST(user_id AS VARCHAR), '<null>') || chr(31)
+          || coalesce(CAST(event_id AS VARCHAR), '<null>') || chr(31)
+          || coalesce(props, '<null>')) AS h
+  FROM events),
+r AS (
+  SELECT user_id, h,
+         row_number() OVER (PARTITION BY user_id ORDER BY ord, h) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ord DESC, h DESC) AS rn_rev
+  FROM t)
+SELECT user_id,
+       md5(coalesce(string_agg(h, chr(31) ORDER BY rn) FILTER (WHERE rn > 2 AND rn_rev > 1), '')) AS payload_md5,
+       CAST(greatest(count(*) - 3, 0) AS BIGINT) AS n_hashed
+FROM r GROUP BY user_id
+"""
+
+
 def _transcript_violations_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SKEW path oracled: the salted two-phase window (bounded task
     size, boundary-row carries) over the same derived transcript view,
@@ -1008,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_check": _events_drift_check,
         "declared_turns_check": _declared_turns_check,
         "transcript_violations_salted": _transcript_violations_salted,
+        "payload_digests_md5": _payload_digests_md5,
+        "exclusion_digests_md5": _exclusion_digests_md5,
     }
 
 
@@ -1091,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "events_drift_check": _events_drift_oracle(),
         "declared_turns_check": _DECLARED_TURNS_SQL,
         "transcript_violations_salted": _transcript_salted_oracle(),
+        "payload_digests_md5": _PAYLOAD_DIGESTS_SQL,
+        "exclusion_digests_md5": _EXCLUSION_DIGESTS_SQL,
     }
 
 

@@ -80,27 +80,33 @@ def conversation_digest(
     )
 
 
-def column_subset_digest(df: DataFrame, cols: list[str], conv_col: str = "conv_id", idx_col: str = "turn_idx") -> DataFrame:
+def column_subset_digest(
+    df: DataFrame, cols: list[str], conv_col: str = "conv_id", idx_col: str = "turn_idx", algo: str = "sha1"
+) -> DataFrame:
     """C3: metadata-invariant digest — hash only the payload columns,
     ignoring mutable metadata (SumAtoms hashes mdat only, sum.go:58-100).
-    Changing excluded columns must not change the digest."""
+    Changing excluded columns must not change the digest. Sort key matches
+    conversation_digest (NULL idx -> long-min, row-hash tie-break) so an
+    SQL oracle can replay the ordering; ``algo='md5'`` is the replayable
+    variant."""
     payload = F.concat_ws(_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols])
+    sort_key = F.coalesce(F.col(idx_col).cast("long"), F.lit(-(1 << 62)))
     return (
-        df.select(F.col(conv_col), F.col(idx_col), F.sha1(F.encode(payload, "UTF-8")).alias("h"))
+        df.select(F.col(conv_col), sort_key.alias("__i"), _hash_fn(algo)(F.encode(payload, "UTF-8")).alias("h"))
         .groupBy(conv_col)
         .agg(
-            F.sha1(
+            _hash_fn(algo)(
                 F.encode(
                     F.array_join(
                         F.transform(
-                            F.array_sort(F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col("h").alias("h")))),
+                            F.array_sort(F.collect_list(F.struct(F.col("__i").alias("i"), F.col("h").alias("h")))),
                             lambda s: s["h"],
                         ),
                         _SEP,
                     ),
                     "UTF-8",
                 )
-            ).alias("payload_sha1")
+            ).alias(f"payload_{algo}")
         )
     )
 
