@@ -253,7 +253,7 @@ def main() -> int:
     # judged on; 8->32 is reported too for transparency — it saturates the
     # single memory bus of this VM (a pure-JVM sha1 scan caps the same way;
     # see BASELINE.md), which a real multi-node cluster does not.
-    def suite_time_at(cores: int) -> float:
+    def suite_time_at(cores: int, warm: bool) -> float:
         s = get_spark(app_name=f"tag-spark-bench-c{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores)
         try:
             try:
@@ -265,22 +265,37 @@ def main() -> int:
             def run():
                 sc_suite.violations(b, shuffle_for_windows=False).write.format("noop").mode("overwrite").save()
 
-            run()  # warmup
-            best = 9e9
-            for _ in range(2):
-                t0 = time.monotonic()
-                run()
-                best = min(best, time.monotonic() - t0)
-            return best
+            if warm:
+                run()  # first visit: codegen JIT + page cache
+            t0 = time.monotonic()
+            run()
+            return time.monotonic() - t0
         finally:
             s.stop()
 
+    # time-budget guard: under a host-steal storm (identical jobs measured
+    # 2s-60s on this VM) the scaling block must not push the whole bench
+    # past the driver's timeout and lose the JSON line entirely — measure
+    # as many levels as fit, emit whatever pairs exist.
+    bench_t0 = time.monotonic()
     scaling: dict[str, object] = {}
-    times = {c: suite_time_at(c) for c in (2, 8, 32)}
+    times: dict[int, float] = {}
+    # INTERLEAVED rounds (32,8,2, 32,8,2): a steal storm hitting one time
+    # window then distorts every level equally instead of poisoning a
+    # single level's ratio; per-level best-of-rounds is taken.
+    for rnd in range(2):
+        for c in (32, 8, 2):  # cheapest first so a truncated run still has 8->32
+            if time.monotonic() - bench_t0 > 330:
+                scaling["truncated"] = True
+                break
+            t = suite_time_at(c, warm=c not in times)
+            times[c] = min(times.get(c, 9e9), t)
     for c, t in times.items():
         scaling[f"turns_per_sec_{c}c"] = round(n_turns / t, 1)
-    scaling["eff_2_to_8"] = round(times[2] / (4 * times[8]), 3)
-    scaling["eff_8_to_32"] = round(times[8] / (4 * times[32]), 3)
+    if 2 in times and 8 in times:
+        scaling["eff_2_to_8"] = round(times[2] / (4 * times[8]), 3)
+    if 8 in times and 32 in times:
+        scaling["eff_8_to_32"] = round(times[8] / (4 * times[32]), 3)
     out["scaling"] = scaling
 
     print(json.dumps(out))
