@@ -895,6 +895,62 @@ FROM cum GROUP BY metric
 """
 
 
+def _streaming_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the driver gate: the stateless events suite
+    runs as a real readStream -> writeStream(availableNow) micro-batch job
+    over the events table (fresh sink+checkpoint per call, exactly-once),
+    and the materialized sink must equal the batch result — which is what
+    the SQL oracle computes. Window checks stay batch-side by design
+    (validate_stream.py), so the oracle is the row-level arms only."""
+    import os
+    import tempfile
+
+    from tag_spark.operators.generic_suites import events_suite
+    from tag_spark.streaming.validate_stream import stateless, write_violation_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="tag_spark_stream_")
+    # the file source needs a DIRECTORY to watch; the testdata table is a
+    # single parquet file — link it into a fresh source dir
+    os.makedirs(f"{d}/src")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/src/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(f"{d}/src")
+    suite = stateless(events_suite())
+    viol = suite.violations(stream, shuffle_for_windows=False)
+    q = write_violation_stream(viol, f"{d}/sink", f"{d}/ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{d}/sink")
+        .select(
+            "check_id",
+            "severity",
+            F.col("conv_id").cast("long").alias("user_id"),
+            F.col("turn_idx").cast("long").alias("event_id"),
+        )
+    )
+
+
+_STREAMING_EVENTS_SQL = """
+WITH viol AS (
+    SELECT 'event_type_in_vocab' AS check_id, 'error' AS severity, user_id, event_id
+    FROM events
+    WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+  UNION ALL
+    SELECT 'value_nonneg', 'error', user_id, event_id FROM events
+    WHERE value IS NOT NULL AND value < 0
+  UNION ALL
+    SELECT 'purchase_value_positive', 'warn', user_id, event_id FROM events
+    WHERE event_type = 'purchase' AND NOT coalesce(value > 0, FALSE)
+  UNION ALL
+    SELECT 'event_id_not_null', 'error', user_id, event_id FROM events WHERE event_id IS NULL
+  UNION ALL
+    SELECT 'ts_not_null', 'error', user_id, event_id FROM events WHERE ts IS NULL
+)
+SELECT check_id, severity, CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id
+FROM viol
+"""
+
+
 def _payload_digests_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 metadata-invariant digest, md5 variant: per-user ordered digest
     over ONLY (event_type, value) — changing any other column must not move
@@ -1065,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_violations_salted": _transcript_violations_salted,
         "payload_digests_md5": _payload_digests_md5,
         "exclusion_digests_md5": _exclusion_digests_md5,
+        "streaming_events_violations": _streaming_events_violations,
     }
 
 
@@ -1150,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_violations_salted": _transcript_salted_oracle(),
         "payload_digests_md5": _PAYLOAD_DIGESTS_SQL,
         "exclusion_digests_md5": _EXCLUSION_DIGESTS_SQL,
+        "streaming_events_violations": _STREAMING_EVENTS_SQL,
     }
 
 

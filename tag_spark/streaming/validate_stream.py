@@ -30,16 +30,23 @@ from tag_spark.operators.checks import WindowCheck
 from tag_spark.operators.suite import ValidationSuite, default_transcript_suite
 
 
-def streaming_suite(dim_role: DataFrame, dim_tool: DataFrame) -> ValidationSuite:
-    """The default transcript suite minus its window checks (stateful
-    cross-row checks don't stream; everything else is stateless)."""
-    base = default_transcript_suite(dim_role, dim_tool)
+def stateless(suite: ValidationSuite) -> ValidationSuite:
+    """Any suite minus its window checks — the subset that is safe on an
+    unbounded stream (stateful cross-row checks, including screened
+    uniqueness whose eager screen cannot run on a streaming frame, stay
+    batch-side by design)."""
     return ValidationSuite(
-        [c for c in base.checks if not isinstance(c, WindowCheck)],
-        n_buckets=base.n_buckets,
-        key_cols=base.key_cols,
-        hash_col=base.hash_col,
+        [c for c in suite.checks if not isinstance(c, WindowCheck)],
+        n_buckets=suite.n_buckets,
+        key_cols=suite.key_cols,
+        hash_col=suite.hash_col,
+        bucket_fn=suite.bucket_fn,
     )
+
+
+def streaming_suite(dim_role: DataFrame, dim_tool: DataFrame) -> ValidationSuite:
+    """The default transcript suite minus its window checks."""
+    return stateless(default_transcript_suite(dim_role, dim_tool))
 
 
 def streaming_violations(stream: DataFrame, dim_role: DataFrame, dim_tool: DataFrame, carry_ts: bool = True) -> DataFrame:
