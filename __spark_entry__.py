@@ -315,7 +315,14 @@ def _events_as_transcripts_sql(ts_kw: str) -> str:
     return f"""
 WITH base AS (
   SELECT user_id, event_id, event_type, ts, props,
-         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+         -- NULLS FIRST pins Spark/DuckDB divergence; md5(props) tie-breaks
+         -- duplicate event_ids deterministically in BOTH engines (today's
+         -- testdata has unique non-null event_ids, but the view must stay
+         -- parity-stable if that ever changes)
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY event_id NULLS FIRST, md5(coalesce(props, '')) NULLS FIRST
+         ) - 1 AS rn
   FROM events
 )
 SELECT CAST(user_id AS STRING) AS conv_id,

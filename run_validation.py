@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
     manifest = CheckpointManifest(spark, f"{args.output}/manifest", snapshot_id=snapshot)
 
+    done = []
     if args.resume:
         done = manifest.completed_buckets(snapshot_id=snapshot)
         df = manifest.filter_pending(df, bucket_fn=suite.bucket_fn, n_buckets=suite.n_buckets, snapshot_id=snapshot)
@@ -100,10 +101,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     else:
         res = suite.run(df)
 
-    # a resumed run only processed the PENDING buckets — append so previously
-    # completed buckets' outputs accumulate instead of being clobbered (the
-    # manifest still marks them done); a fresh run starts the dirs over
-    mode = "append" if args.resume else "overwrite"
+    # a resumed run that actually SKIPPED buckets only processed the pending
+    # remainder — append so the completed buckets' outputs accumulate instead
+    # of being clobbered. But append is only safe when something was skipped:
+    # a resume that skipped nothing (changed snapshot, empty/stale manifest)
+    # re-validates the FULL table and must overwrite, or the old outputs
+    # would be duplicated on top of the new complete set.
+    mode = "append" if (args.resume and done) else "overwrite"
     ValidationSuite.stable_violations(res.violations).write.mode(mode).parquet(f"{args.output}/violations")
     res.verdicts.orderBy("bucket_id", "check_id").write.mode(mode).parquet(f"{args.output}/verdicts")
 

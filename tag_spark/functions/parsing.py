@@ -254,17 +254,44 @@ def ogg_crc32(col: Column | str) -> Column:
         vals = payloads.tolist()
         n = len(vals)
         lens = np.array([len(b) if b is not None else -1 for b in vals], dtype=np.int64)
-        max_len = int(lens.max()) if n else 0
-        padded = np.zeros((n, max(max_len, 1)), dtype=np.uint8)
-        for r, b in enumerate(vals):  # batch assembly only; CRC math below is columnar
-            if b:
-                padded[r, : len(b)] = np.frombuffer(bytes(b), dtype=np.uint8)
-        crc = np.zeros(n, dtype=np.uint32)
-        for j in range(max_len):
-            live = lens > j
-            idx = ((crc[live] >> 24) ^ padded[live, j]) & 0xFF
-            crc[live] = ((crc[live] << 8) ^ table[idx]).astype(np.uint32)
-        out = crc.astype("int64")
+        out = np.zeros(n, dtype=np.int64)
+
+        def crc_block(rows):
+            """Columnar CRC over a length-homogeneous block of row indices:
+            pad only to the BLOCK's max length. Blocks are carved from the
+            length-sorted order under an area budget, so one 10 MB payload
+            among 10k short rows never allocates n x max_len (the dense
+            whole-batch pad would be ~100 GB there)."""
+            m = int(lens[rows].max())
+            padded = np.zeros((len(rows), max(m, 1)), dtype=np.uint8)
+            for k, r in enumerate(rows):
+                b = vals[r]
+                if b:
+                    padded[k, : len(b)] = np.frombuffer(bytes(b), dtype=np.uint8)
+            crc = np.zeros(len(rows), dtype=np.uint32)
+            blens = lens[rows]
+            for j in range(m):
+                live = blens > j
+                idx = ((crc[live] >> 24) ^ padded[live, j]) & 0xFF
+                crc[live] = ((crc[live] << 8) ^ table[idx]).astype(np.uint32)
+            out[rows] = crc.astype(np.int64)
+
+        order = np.argsort(lens)  # short rows group together
+        budget = 64 << 20  # ≤64 MB of pad per block
+        block: list[int] = []
+        block_max = 0
+        for r in order:
+            if lens[r] <= 0:
+                continue
+            new_max = max(block_max, int(lens[r]))
+            if block and (len(block) + 1) * new_max > budget:
+                crc_block(np.array(block))
+                block, block_max = [], 0
+                new_max = int(lens[r])
+            block.append(int(r))
+            block_max = new_max
+        if block:
+            crc_block(np.array(block))
         return pd.Series([None if L < 0 else int(v) for L, v in zip(lens, out)], dtype="Int64")
 
     # module uses `from __future__ import annotations` (stringified hints),

@@ -53,9 +53,19 @@ def flatten_nested(
         # only one generator per projection
         arr = arrays[0]
         others = [F.col(f"`{f.name}`") for f in out.schema.fields if f.name != arr.name]
+        # depth-unique position name: array<array<...>> explodes the same
+        # column name twice, so a fixed "<name>.idx" alias would produce two
+        # indistinguishable columns (outer vs inner offset lost, and further
+        # rounds would crash on the ambiguous reference)
+        pos = f"{arr.name}{sep}idx"
+        existing = {f.name for f in out.schema.fields}
+        depth = 2
+        while pos in existing:
+            pos = f"{arr.name}{sep}idx{depth}"
+            depth += 1
         out = out.select(
             *others,
-            F.posexplode_outer(F.col(f"`{arr.name}`")).alias(f"{arr.name}{sep}idx", arr.name),
+            F.posexplode_outer(F.col(f"`{arr.name}`")).alias(pos, arr.name),
         )
     return out
 

@@ -354,11 +354,22 @@ class IvfIndex:
             import os
 
             # the on-disk assignment is only valid for THE data that built
-            # it: centroids are recomputed from df every time, so a stale
-            # directory (same path, different corpus) would probe the wrong
-            # cells silently. The centroid fingerprint rides along as an
-            # underscore-prefixed file (ignored by Spark's reader).
-            fp = hashlib.sha1(json.dumps(self.centroids).encode()).hexdigest()
+            # it: a stale directory (same path, different corpus) would be
+            # probed with mismatched cells or stale vectors silently. The
+            # fingerprint must cover the WHOLE corpus, not just the sampled
+            # centroids — an appended or re-embedded vector usually leaves
+            # the md5-smallest sample unchanged. One order-insensitive
+            # bounded-sum digest over (id, vector) plus the row count
+            # (pmod keeps the ANSI-mode sum far from long overflow).
+            digest_row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.col(vec_col).cast("string")), F.lit(1 << 31))
+                ).alias("h"),
+            ).first()
+            fp = hashlib.sha1(
+                json.dumps([digest_row["n"], digest_row["h"], n_cells, self.centroids]).encode()
+            ).hexdigest()
             meta = f"{path}/_ivf_centroids.json"
             stale = True
             if os.path.exists(f"{path}/_SUCCESS") and os.path.exists(meta):

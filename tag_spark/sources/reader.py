@@ -91,16 +91,30 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", stric
 
 def read_transcripts_jsonl(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
     """JSONL → canonical transcript frame. Two-phase like the reference's
-    probe-then-parse: a schema-inference probe decides whether the required
-    columns exist at all (strict mode aborts on a missing column — an
-    enforced schema alone would silently null it), then the real scan reads
-    with the canonical schema: FAILFAST in strict mode (a malformed line or
-    mistyped field aborts, id3v2.go:249-251), PERMISSIVE in tolerant mode
-    (bad lines become all-NULL rows for the NotNull checks to flag —
-    padding-skip semantics, id3v2.go:277-280)."""
-    probe = spark.read.option("multiLine", "false").json(path)
+    probe-then-parse: a BOUNDED probe (the first ``probe_lines`` lines —
+    full schema inference would read the entire dataset twice at 100 TB)
+    decides whether the required columns exist at all (strict mode aborts
+    on a missing column — an enforced schema alone would silently null it),
+    then the real scan reads with the canonical schema: FAILFAST in strict
+    mode (a malformed line or mistyped field aborts, id3v2.go:249-251),
+    PERMISSIVE in tolerant mode (bad lines become all-NULL rows for the
+    NotNull checks to flag — padding-skip semantics, id3v2.go:277-280)."""
+    # NB: JSON writers commonly omit null fields, so a column that is null
+    # on EVERY probed line counts as missing — bounded-probe strictness is
+    # inherently sampled; raise probe_lines for pathologically sparse columns
+    import json as _json
+
+    probe_lines = 256
+    seen: set[str] = set()
+    for r in spark.read.text(path).limit(probe_lines).collect():
+        try:
+            doc = _json.loads(r["value"])
+        except ValueError:
+            continue
+        if isinstance(doc, dict):
+            seen.update(doc.keys())
     expected = [f.name for f in TRANSCRIPT_SCHEMA.fields]
-    missing = [c for c in expected if c not in probe.columns]
+    missing = [c for c in expected if c not in seen]
     if strict and missing:
         raise SchemaMismatchError(f"missing={missing} wrong_types={{}}")
     mode = "FAILFAST" if strict else "PERMISSIVE"

@@ -38,3 +38,18 @@ def test_unknown_types_kept_verbatim(spark):
 def test_leaf_paths_inventory(spark):
     paths = leaf_paths(_nested_df(spark))
     assert paths == ["file_id", "moov.udta.meta", "moov.n", "ilst[].name", "ilst[].val"]
+
+
+def test_flatten_nested_arrays_of_arrays(spark):
+    """array<array<...>> needs depth-unique position columns: outer and
+    inner offsets must both survive (regression: a fixed '<name>.idx' alias
+    produced two indistinguishable columns)."""
+    df = spark.createDataFrame([(1, [[10, 11], [20]])], "i long, a array<array<int>>")
+    flat = flatten_nested(df)
+    assert sorted(flat.columns) == ["a", "a.idx", "a.idx2", "i"]
+    rows = {(r["a.idx"], r["a.idx2"]): r["a"] for r in flat.collect()}
+    assert rows == {(0, 0): 10, (0, 1): 11, (1, 0): 20}
+    # three levels flatten without ambiguity errors
+    df3 = spark.createDataFrame([(1, [[[7]]])], "i long, a array<array<array<int>>>")
+    flat3 = flatten_nested(df3)
+    assert flat3.first()["a"] == 7
