@@ -238,7 +238,7 @@ def _ogg_crc_table():
     return _OGG_CRC_TABLE
 
 
-def ogg_crc32(col: Column | str) -> Column:
+def ogg_crc32(col: Column | str, block_budget: int = 64 << 20) -> Column:
     """OGG page checksum over a binary column, vectorized ACROSS ROWS: the
     CRC recurrence is sequential per payload, so the batch is processed
     column-of-bytes at a time — one numpy table-lookup step per byte
@@ -277,7 +277,7 @@ def ogg_crc32(col: Column | str) -> Column:
             out[rows] = crc.astype(np.int64)
 
         order = np.argsort(lens)  # short rows group together
-        budget = 64 << 20  # ≤64 MB of pad per block
+        budget = block_budget  # ≤ this much pad per block
         block: list[int] = []
         block_max = 0
         for r in order:

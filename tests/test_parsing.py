@@ -133,3 +133,17 @@ def test_ogg_crc32_matches_bitwise_reference(spark):
     got = {r["i"]: r["crc"] for r in df.select("i", P.ogg_crc32("v").alias("crc")).collect()}
     for i, p in enumerate(payloads):
         assert got[i] == (None if p is None else ref_crc(p)), (i, p)
+
+
+def test_ogg_crc32_blocked_path_with_length_skew(spark):
+    """A tiny block budget forces many length-bucketed blocks; results must
+    be identical to the single-block path (guards the skew/OOM fix)."""
+    import random
+
+    rng = random.Random(7)
+    payloads = [bytes(rng.randrange(256) for _ in range(rng.choice([0, 3, 10, 40, 200]))) for _ in range(60)]
+    payloads.append(bytes(rng.randrange(256) for _ in range(5000)))  # the skewed giant
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)], "i long, v binary")
+    big = {r["i"]: r["c"] for r in df.select("i", P.ogg_crc32("v").alias("c")).collect()}
+    small = {r["i"]: r["c"] for r in df.select("i", P.ogg_crc32("v", block_budget=256).alias("c")).collect()}
+    assert big == small and len(big) == len(payloads)
