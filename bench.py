@@ -55,6 +55,12 @@ def main() -> int:
     from tag_spark.operators.drift import drift_check, transcript_baseline
 
     sf = sf_value(SF_DIR)
+    # global degradation budget: host-steal storms on this VM inflate jobs
+    # 3-10x for minutes at a time. The bench must ALWAYS emit its JSON line
+    # within the driver's timeout, so past these elapsed marks it sheds
+    # retries / optional blocks rather than running long.
+    t_start = time.monotonic()
+    elapsed = lambda: time.monotonic() - t_start  # noqa: E731
     spark = get_spark(app_name="tag-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
 
     # --- prepare synthetic transcripts (NOT timed: input materialization) ---
@@ -75,8 +81,11 @@ def main() -> int:
 
     def bench(name: str, fn, attempts: int = 2) -> None:
         # the sandbox VM shows large host-steal variance (identical runs
-        # observed 5s vs 65s back-to-back); ALWAYS take best-of-N — a
-        # steal-inflated first run is precisely when the retry matters
+        # observed 5s vs 65s back-to-back); take best-of-N — a steal-inflated
+        # first run is precisely when the retry matters — but shed retries
+        # once the run is already long (emitting the JSON line wins)
+        if elapsed() > 240:
+            attempts = 1
         best = float("inf")
         for _ in range(attempts):
             spark.catalog.clearCache()  # persists from previous queries must not skew GC
@@ -184,6 +193,9 @@ def main() -> int:
         t0 = time.monotonic()
         fn()
         t = time.monotonic() - t0
+        if elapsed() > 240:
+            timings[name] = round(t, 3)
+            return
         t1 = time.monotonic()
         fn()
         timings[name] = round(min(t, time.monotonic() - t1), 3)
@@ -197,42 +209,47 @@ def main() -> int:
     # cached scan, so brute force is unbeatable there by construction. The
     # index-vs-exact crossover needs volume: 200k deterministic synthetic
     # vectors (hash-derived, no RNG), built untimed like the input tables.
-    n_vec = 200_000
-    vpath = f"/tmp/tag_spark_bench_vectors_n{n_vec}"
-    if not os.path.exists(f"{vpath}/_SUCCESS"):
-        shutil.rmtree(vpath, ignore_errors=True)
-        spark.range(n_vec).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0).cast("float"),
-            ).alias("embedding"),
-        ).repartition(32).write.mode("overwrite").parquet(vpath)
-    bigv = spark.read.parquet(vpath).persist()
-    bigq = [float(x) for x in bigv.filter(F.col("vec_id") == 0).first()["embedding"]]
-    bigv.count()  # materialize the cache before timing
-    bench_no_cache_clear("ann_exact_topk_200k", lambda: cosine_topk(bigv, bigq, k=10).collect() and None)
-    big_lsh = LshAnnIndex(bigv, dim=64, n_planes=8, n_tables=8)
-    big_lsh.topk(bigq, k=10).collect()  # build + warm (untimed, like table prep)
-    big_ivf = IvfIndex(bigv, n_cells=64, path=f"/tmp/tag_spark_bench_ivf_n{n_vec}")
-    big_ivf.topk(bigq, k=10, nprobe=4).collect()
-    bench_no_cache_clear("ann_lsh_topk_200k", lambda: big_lsh.topk(bigq, k=10).collect() and None)
-    bench_no_cache_clear("ann_ivf_topk_200k", lambda: big_ivf.topk(bigq, k=10, nprobe=4).collect() and None)
+    # The whole block is optional under the degradation budget.
+    skip_200k = elapsed() > 300
+    if skip_200k:
+        timings["ann_200k_skipped_under_time_budget"] = 1.0
+    if not skip_200k:
+        n_vec = 200_000
+        vpath = f"/tmp/tag_spark_bench_vectors_n{n_vec}"
+        if not os.path.exists(f"{vpath}/_SUCCESS"):
+            shutil.rmtree(vpath, ignore_errors=True)
+            spark.range(n_vec).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0).cast("float"),
+                ).alias("embedding"),
+            ).repartition(32).write.mode("overwrite").parquet(vpath)
+        bigv = spark.read.parquet(vpath).persist()
+        bigq = [float(x) for x in bigv.filter(F.col("vec_id") == 0).first()["embedding"]]
+        bigv.count()  # materialize the cache before timing
+        bench_no_cache_clear("ann_exact_topk_200k", lambda: cosine_topk(bigv, bigq, k=10).collect() and None)
+        big_lsh = LshAnnIndex(bigv, dim=64, n_planes=8, n_tables=8)
+        big_lsh.topk(bigq, k=10).collect()  # build + warm (untimed, like table prep)
+        big_ivf = IvfIndex(bigv, n_cells=64, path=f"/tmp/tag_spark_bench_ivf_n{n_vec}")
+        big_ivf.topk(bigq, k=10, nprobe=4).collect()
+        bench_no_cache_clear("ann_lsh_topk_200k", lambda: big_lsh.topk(bigq, k=10).collect() and None)
+        bench_no_cache_clear("ann_ivf_topk_200k", lambda: big_ivf.topk(bigq, k=10, nprobe=4).collect() and None)
 
-    # batched ANN — the pipeline shape ("every new doc finds its neighbors");
-    # this is where index-vs-exact separates on real WORK (candidates per
-    # query) rather than per-job scheduling overhead
-    from tag_spark.operators.similarity import cosine_topk_batch
+        # batched ANN — the pipeline shape ("every new doc finds its neighbors");
+        # this is where index-vs-exact separates on real WORK (candidates per
+        # query) rather than per-job scheduling overhead
+        from tag_spark.operators.similarity import cosine_topk_batch
 
-    batch_q = bigv.filter(F.col("vec_id") % 3000 == 1).select(F.col("vec_id").alias("query_id"), "embedding").persist()
-    batch_q.count()
-    big_lsh.topk_batch(batch_q, k=10).count()  # warm
-    bench_no_cache_clear("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10).count() and None)
-    bench_no_cache_clear("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10).count() and None)
-    bench_no_cache_clear("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4).count() and None)
-    batch_q.unpersist()
-    big_lsh.unpersist()
-    bigv.unpersist()
+        batch_q = bigv.filter(F.col("vec_id") % 3000 == 1).select(F.col("vec_id").alias("query_id"), "embedding").persist()
+        batch_q.count()
+        big_lsh.topk_batch(batch_q, k=10).count()  # warm
+        bench_no_cache_clear("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10).count() and None)
+        bench_no_cache_clear("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10).count() and None)
+        bench_no_cache_clear("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4).count() and None)
+        batch_q.unpersist()
+        big_lsh.unpersist()
+        bigv.unpersist()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -277,7 +294,6 @@ def main() -> int:
     # 2s-60s on this VM) the scaling block must not push the whole bench
     # past the driver's timeout and lose the JSON line entirely — measure
     # as many levels as fit, emit whatever pairs exist.
-    bench_t0 = time.monotonic()
     scaling: dict[str, object] = {}
     times: dict[int, float] = {}
     # INTERLEAVED rounds (32,8,2, 32,8,2): a steal storm hitting one time
@@ -285,7 +301,7 @@ def main() -> int:
     # single level's ratio; per-level best-of-rounds is taken.
     for rnd in range(2):
         for c in (32, 8, 2):  # cheapest first so a truncated run still has 8->32
-            if time.monotonic() - bench_t0 > 330:
+            if elapsed() > 450:
                 scaling["truncated"] = True
                 break
             t = suite_time_at(c, warm=c not in times)
