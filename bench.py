@@ -210,9 +210,10 @@ def main() -> int:
     # index-vs-exact crossover needs volume: 200k deterministic synthetic
     # vectors (hash-derived, no RNG), built untimed like the input tables.
     # The whole block is optional under the degradation budget.
+    # recorded as a boolean on the output object, never as a fake timing
+    # entry (a synthetic 1.0s line would inflate total_s and masquerade as
+    # a real query in the emitted JSON)
     skip_200k = elapsed() > 300
-    if skip_200k:
-        timings["ann_200k_skipped_under_time_budget"] = 1.0
     if not skip_200k:
         n_vec = 200_000
         vpath = f"/tmp/tag_spark_bench_vectors_n{n_vec}"
@@ -261,6 +262,7 @@ def main() -> int:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["transcript_suite"], 1),
         "cpus": CPUS,
+        "ann_200k_skipped": skip_200k,
     }
     spark.stop()
 
@@ -312,6 +314,9 @@ def main() -> int:
         scaling[f"turns_per_sec_{c}c"] = round(n_turns / t, 1)
     if 2 in times and 8 in times:
         scaling["eff_2_to_8"] = round(times[2] / (4 * times[8]), 3)
+        # the north-rule gate (>=0.8 between N and 4N) as an explicit
+        # boolean — a miss must be loud, not a decimal to squint at
+        scaling["gate_pass"] = scaling["eff_2_to_8"] >= 0.8
     if 8 in times and 32 in times:
         scaling["eff_8_to_32"] = round(times[8] / (4 * times[32]), 3)
     scaling["note"] = (

@@ -114,9 +114,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.stats:
         from tag_spark.operators.stats import collect_stats_arrow
 
-        collect_stats_arrow(df, ["turn_idx", "role", "text", "tool", "ts"]).write.mode(mode).parquet(
-            f"{args.output}/stats"
-        )
+        # stats are global aggregates over whatever THIS run processed —
+        # unlike violations/verdicts they are not bucket-additive (exact
+        # quantiles from disjoint subsets cannot be merged by row append),
+        # so resumed runs must never mix stats rows from different scopes.
+        # Always overwrite, and record the scope so a reader of a resumed
+        # run's stats knows they cover only the pending subset.
+        scope = "resume-pending" if (args.resume and done) else "full"
+        collect_stats_arrow(df, ["turn_idx", "role", "text", "tool", "ts"]).withColumn(
+            "run_scope", F.lit(scope)
+        ).write.mode("overwrite").parquet(f"{args.output}/stats")
 
     manifest.record_run(res)
     wall = time.monotonic() - t0

@@ -117,29 +117,76 @@ def parse_year(col: Column | str) -> Column:
 # --- F10: genre expansion (id3v2.go:446-469) ----------------------------------
 
 
-def expand_indexed_vocab(col: Column | str, vocab: list[str], max_rounds: int = 2) -> Column:
-    """Iterative '(NN)' index expansion against a vocabulary with the
-    reference's bounded fixpoint (≤2 rounds in practice) and '((' → '('
-    unescape. Vocab is a literal array (broadcast-free lookup)."""
+# the reference's exact pattern (id3v2.go:446): the LAST '(NN)' whose '('
+# is not itself preceded by '(' — prefix, index, and suffix captured
+_INDEXED_VOCAB_RE = r"(.*[^(]|.* |^)\((\d+)\) *(.*)$"
+
+
+def _expand_round(s: Column, arr: Column, vocab_len: int) -> Column:
+    """ONE expansion round with the reference's semantics (id3v2genre,
+    id3v2.go:448-467): rightmost valid index is replaced by its vocab
+    entry, space-joined with the trimmed prefix and the suffix; an invalid
+    index (out of range, or unparseable — try_cast tolerates a hostile
+    >9-digit index under ANSI mode) leaves the value unchanged, which also
+    ends the fixpoint."""
+    m1 = F.regexp_extract(s, _INDEXED_VOCAB_RE, 1)
+    idx = F.regexp_extract(s, _INDEXED_VOCAB_RE, 2).try_cast("int")
+    m3 = F.regexp_extract(s, _INDEXED_VOCAB_RE, 3)
+    return F.when(
+        s.rlike(_INDEXED_VOCAB_RE) & (idx < vocab_len),
+        F.concat(
+            F.when(m1 != "", F.concat(F.trim(m1), F.lit(" "))).otherwise(F.lit("")),
+            F.element_at(arr, idx + 1),
+            F.when(m3 != "", F.concat(F.lit(" "), m3)).otherwise(F.lit("")),
+        ),
+    ).otherwise(s)
+
+
+def expand_indexed_vocab(col: Column | str, vocab: list[str], max_rounds: int = 4) -> Column:
+    """Iterative '(NN)' index expansion against a vocabulary — the
+    reference's fixpoint loop (id3v2.go:446-469) with a bounded unroll,
+    plus the '((' → '(' unescape. Vocab is a literal array
+    (broadcast-free lookup).
+
+    Each round expands the RIGHTMOST index, so m sibling indices converge
+    in m rounds; a round that changes nothing is a no-op, so over-unrolling
+    is harmless for correctness. The unroll multiplies the expression tree
+    ~6x per round (runtime cost is bounded by codegen subexpression
+    elimination, but analysis time is not) — keep ``max_rounds`` small
+    here and use :func:`expand_indexed_vocab_df` for a true data-dependent
+    fixpoint on hostile inputs with many indices."""
     arr = F.array(*[F.lit(v) for v in vocab])
     out = _c(col)
     for _ in range(max_rounds):
-        idx = F.regexp_extract(out, r"\((\d+)\)", 1)
-        # try_cast: a hostile >9-digit index must be tolerated (kept
-        # verbatim), not crash the job under ANSI mode
-        replacement = F.when(
-            (idx != "") & (idx.try_cast("int") < len(vocab)),
-            F.element_at(arr, idx.try_cast("int") + 1),
-        )
-        out = F.when(
-            replacement.isNotNull(),
-            F.concat(
-                F.regexp_extract(out, r"^(.*?)\(\d+\)", 1),
-                replacement,
-                F.regexp_extract(out, r"^.*?\(\d+\)(.*)$", 1),
-            ),
-        ).otherwise(out)
+        out = _expand_round(out, arr, len(vocab))
     return F.replace(out, F.lit("(("), F.lit("("))
+
+
+def expand_indexed_vocab_df(
+    df, col: str, vocab: list[str], out_col: str | None = None, max_rounds: int = 8
+):
+    """TRUE fixpoint expansion at the DataFrame level: each round applies
+    one expansion pass and materializes it (persist + a limit-1 changed
+    probe), so expression trees never compound across rounds and the loop
+    stops as soon as a round changes nothing — the reference's
+    ``for changed`` loop (id3v2.go:449-466) with a hard ``max_rounds``
+    bound against unbounded-hostile input. Rounds are data-bounded (one
+    per remaining index in the worst value), typically 1-2."""
+    out_col = out_col or col
+    arr = F.array(*[F.lit(v) for v in vocab])
+    cur = df.withColumn("__vx_cur", F.col(col))
+    prev_cached = None
+    for _ in range(max_rounds):
+        nxt = cur.withColumn("__vx_next", _expand_round(F.col("__vx_cur"), arr, len(vocab))).persist()
+        changed = nxt.filter(F.col("__vx_next") != F.col("__vx_cur")).limit(1).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
+        cur = nxt.withColumn("__vx_cur", F.col("__vx_next")).drop("__vx_next")
+        if changed == 0:
+            break
+    result = cur.withColumn(out_col, F.replace(F.col("__vx_cur"), F.lit("(("), F.lit("(")))
+    return result.drop("__vx_cur") if out_col != "__vx_cur" else result
 
 
 # --- F11/F12: synchsafe + bit helpers (util.go:13-34) -------------------------

@@ -4,9 +4,10 @@ The reference treats embedded pictures exactly this way — an opaque blob
 with (mime, type, description) metadata parsed from the container
 (Picture struct, id3v2frames.go:545-551; base64 vorbis pictures,
 vorbis.go:62-68; PNG sniffing, mp4.go:54-55). We scale the pattern: assets
-live in a `binary` column with a metadata struct; all transforms are
-`mapInPandas` over Arrow batches so bytes never row-trip through Python
-one at a time.
+live in a `binary` column with a metadata struct; builtin-expressible
+fields (length, content hash, magic sniff) are pure JVM expressions, and
+only genuinely-imperative decode work runs in Python — always over Arrow
+batches (pandas UDF / `mapInPandas`), never one row at a time.
 
 The actual image/audio decode libraries are NOT available in this
 container, so `decode_image` et al. run a clearly-marked deterministic
@@ -98,40 +99,55 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+# decode-only output of the vectorized UDF — everything builtin-expressible
+# (byte length, content hash) stays a JVM expression and never enters Python
+_DECODE_STRUCT = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def _decode_batch(kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
+    """Arrow-batched decode stand-in. The per-payload work here is the
+    decode itself (a real decoder is inherently per-payload — PIL absent
+    from this container, so the STUB derives deterministic pseudo-dimensions
+    from the content hash, clearly labeled ``decoder='stub'``)."""
+    widths: list[int | None] = []
+    heights: list[int | None] = []
+    for k, p in zip(kind, payload):
+        b = bytes(p) if p is not None else b""
+        if _HAS_PIL and k == "image":  # pragma: no cover
+            raise NotImplementedError("real decode path requires PIL-compatible payloads")
+        digest = hashlib.sha256(b).hexdigest()
+        widths.append(16 + int(digest[:4], 16) % 4080 if k == "image" else None)
+        heights.append(16 + int(digest[4:8], 16) % 4080 if k == "image" else None)
+    return pd.DataFrame({"width": widths, "height": heights, "decoder": "stub"})
+
 
 def decode_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """Feature-extraction over image payloads via mapInPandas.
+    """Feature-extraction over image payloads.
 
-    With PIL present this would decode real dimensions; in this container it
-    runs the STUB path: deterministic pseudo-dimensions derived from the
-    payload hash (clearly labeled `decoder='stub'`). Batch shape, schema and
-    partitioning are identical in both paths."""
+    ``n_bytes`` and ``content_sha256`` are pure JVM expressions
+    (``F.length`` / ``F.sha2`` — codegen'd, vectorized, no Python);
+    only the decode-only fields (width/height/decoder) come from an
+    Arrow-batched pandas UDF, in ONE projection with no extra join or
+    shuffle. With PIL present the UDF would decode real dimensions; in
+    this container it runs the clearly-labeled STUB path. Batch shape,
+    schema and partitioning are identical either way."""
+    from pyspark.sql.functions import pandas_udf
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(b).hexdigest()
-                if _HAS_PIL and kind == "image":  # pragma: no cover
-                    raise NotImplementedError("real decode path requires PIL-compatible payloads")
-                # STUB: deterministic fake dimensions from the content hash
-                w = 16 + int(digest[:4], 16) % 4080 if kind == "image" else None
-                h = 16 + int(digest[4:8], 16) % 4080 if kind == "image" else None
-                out.append(
-                    {
-                        "asset_id": aid,
-                        "kind": kind,
-                        "n_bytes": len(b),
-                        "content_sha256": digest,
-                        "width": w,
-                        "height": h,
-                        "decoder": "stub",
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
-
-    return df.select("asset_id", "kind", "payload").mapInPandas(extract, schema=DECODED_SCHEMA)
+    decode = pandas_udf(_decode_batch, _DECODE_STRUCT)
+    empty = F.lit(b"")
+    return df.select(
+        "asset_id",
+        "kind",
+        F.length(F.coalesce(F.col("payload"), empty)).cast("long").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("payload"), empty), 256).alias("content_sha256"),
+        decode(F.col("kind"), F.col("payload")).alias("__d"),
+    ).select("asset_id", "kind", "n_bytes", "content_sha256", "__d.width", "__d.height", "__d.decoder")
 
 
 FRAME_SCHEMA = T.StructType(

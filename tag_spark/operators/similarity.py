@@ -158,7 +158,15 @@ class LshAnnIndex:
     table + semi-join lost too: its build-side scan is O(n·n_tables) rows
     and the broadcast adds a second job. At cluster scale the same encoded
     column lives ON the stored table (or is bucket-partitioned); the query
-    stays a single pruned scan."""
+    stays a single pruned scan.
+
+    Parameter tradeoff: recall grows with n_tables, candidate pruning with
+    n_planes (bucket hit rate per table ≈ match_p^n_planes). The defaults
+    (8 planes × 8 tables) PRUNE — a random vector passes the bucket filter
+    with p ≈ 1-(1-2^-8·…)^8, a small fraction of the corpus — at the cost
+    of recall for weak neighbors. Oracle call sites that must equal the
+    exact top-k pass recall-complete parameters (2 planes × 16 tables:
+    miss ≈ 0.65^16 ≈ 1e-3 even at cos ≈ 0.28) explicitly."""
 
     def __init__(
         self,
@@ -166,8 +174,8 @@ class LshAnnIndex:
         dim: int,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        n_planes: int = 2,
-        n_tables: int = 16,
+        n_planes: int = 8,
+        n_tables: int = 8,
         seed: int = 42,
     ):
         self.id_col, self.dim, self.n_planes, self.n_tables, self.seed = id_col, dim, n_planes, n_tables, seed
@@ -241,16 +249,18 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 2,
-    n_tables: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 42,
     index: LshAnnIndex | None = None,
 ) -> DataFrame:
     """ANN top-k through an LshAnnIndex (built here if not supplied —
     callers issuing repeated queries should build the index once). Recall
     grows with n_tables; candidate count ~ n·n_tables/2^n_planes. The
-    defaults (2 planes × 16 tables) are recall-complete even for weak
-    neighbors (cos≈0.28 → per-table match p≈0.35, miss ≈ 0.65^16 ≈ 1e-3)."""
+    defaults (8 planes × 8 tables, the 200k-bench configuration) actually
+    PRUNE the candidate set; oracle call sites that must equal exact top-k
+    pass recall-complete parameters (2 planes × 16 tables) explicitly —
+    see the LshAnnIndex docstring for the tradeoff."""
     idx = index or LshAnnIndex(df, len(query_vec), id_col, vec_col, n_planes, n_tables, seed)
     return idx.topk(query_vec, k)
 

@@ -124,22 +124,33 @@ def md5_fingerprint(col: Column | str) -> Column:
 def _rolling_hash_batch(texts: pd.Series) -> pd.Series:
     """64-bit polynomial rolling hash (Rabin-Karp, base 257, natural 2^64
     wraparound) over the raw text — the classic content-defined fingerprint.
-    Vectorized: one numpy pass per Arrow batch, no per-row Python loops."""
+
+    FULLY vectorized: all documents in the Arrow batch are encoded into one
+    flat byte buffer (C-level join) and hashed in a single numpy pass —
+    exponent per byte is its offset from its document's end, partial sums
+    fold per-segment via ``np.add.reduceat``. No Python loop whose body
+    executes per document."""
     out = np.zeros(len(texts), dtype=np.uint64)
     base = np.uint64(257)
+    enc = texts.fillna("").str.encode("utf-8", "surrogatepass")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out.view(np.int64))
     with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):  # per-document loop; inner math is numpy
-            if t is None:
-                continue
-            b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
-            n = len(b)
-            if n == 0:
-                continue
-            # hash = Σ b[i]·base^(n-1-i) mod 2^64 — powers via wraparound cumprod
-            powers = np.full(n, base, dtype=np.uint64)
-            powers[0] = 1
-            powers = np.cumprod(powers)
-            out[i] = (b * powers[::-1]).sum()  # uint64 wraparound, no BLAS upcast
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # base^k mod 2^64 lookup up to the longest doc, one wraparound cumprod
+        pows = np.full(int(lens.max()), base, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        pows = np.cumprod(pows)
+        # hash = Σ b[i]·base^(n-1-i): exponent = (segment end - 1 - position)
+        exp = np.repeat(ends, lens) - 1 - np.arange(len(flat), dtype=np.int64)
+        terms = flat * pows[exp]
+        # reduceat over nonempty segment starts partitions the flat buffer
+        # exactly (empty docs contribute no bytes and keep their 0 sentinel)
+        out[nz] = np.add.reduceat(terms, starts[nz])
     return pd.Series(out.view(np.int64))
 
 

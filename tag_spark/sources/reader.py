@@ -69,7 +69,9 @@ def table_snapshot(spark: SparkSession, path: str) -> str:
     return f"files-sha1:{digest}"
 
 
-def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = True) -> DataFrame:
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet", strict: bool = True, probe_lines: int = 256
+) -> DataFrame:
     """Scan with the canonical schema enforced. In strict mode a missing or
     wrongly-typed column aborts the whole read — the engine analog of the
     reference's abort-class header errors (id3v2.go:249-251). Extra columns
@@ -78,7 +80,7 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", stric
     second-ingest-format analog of cmd/check reading an iTunes XML library
     instead of walking the filesystem, cmd/check/main.go:100-124)."""
     if fmt == "jsonl":
-        return read_transcripts_jsonl(spark, path, strict=strict)
+        return read_transcripts_jsonl(spark, path, strict=strict, probe_lines=probe_lines)
     df = spark.read.format(fmt).load(path)
     expected = {f.name: f.dataType.simpleString() for f in TRANSCRIPT_SCHEMA.fields}
     actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -89,7 +91,7 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet", stric
     return df.select(*[F.col(c).cast(expected[c]).alias(c) for c in expected if c in actual])
 
 
-def read_transcripts_jsonl(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+def read_transcripts_jsonl(spark: SparkSession, path: str, strict: bool = True, probe_lines: int = 256) -> DataFrame:
     """JSONL → canonical transcript frame. Two-phase like the reference's
     probe-then-parse: a BOUNDED probe (the first ``probe_lines`` lines —
     full schema inference would read the entire dataset twice at 100 TB)
@@ -101,21 +103,23 @@ def read_transcripts_jsonl(spark: SparkSession, path: str, strict: bool = True) 
     NotNull checks to flag — padding-skip semantics, id3v2.go:277-280)."""
     # NB: JSON writers commonly omit null fields, so a column that is null
     # on EVERY probed line counts as missing — bounded-probe strictness is
-    # inherently sampled; raise probe_lines for pathologically sparse columns
+    # inherently sampled; raise ``probe_lines`` for pathologically sparse
+    # columns, or pass 0 to skip the probe entirely (the enforced-schema
+    # scan then silently nulls absent columns for NotNull checks to flag)
     import json as _json
 
-    probe_lines = 256
     seen: set[str] = set()
-    for r in spark.read.text(path).limit(probe_lines).collect():
-        try:
-            doc = _json.loads(r["value"])
-        except ValueError:
-            continue
-        if isinstance(doc, dict):
-            seen.update(doc.keys())
+    if probe_lines > 0:
+        for r in spark.read.text(path).limit(probe_lines).collect():
+            try:
+                doc = _json.loads(r["value"])
+            except ValueError:
+                continue
+            if isinstance(doc, dict):
+                seen.update(doc.keys())
     expected = [f.name for f in TRANSCRIPT_SCHEMA.fields]
     missing = [c for c in expected if c not in seen]
-    if strict and missing:
+    if strict and probe_lines > 0 and missing:
         raise SchemaMismatchError(f"missing={missing} wrong_types={{}}")
     mode = "FAILFAST" if strict else "PERMISSIVE"
     return (

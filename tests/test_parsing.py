@@ -71,18 +71,54 @@ def test_split_with_repair(spark):
     assert got == ["desc", "data"]
 
 
+# the reference's own genre vocabulary positions used by its test corpus
+# (id3v2_test.go:133-155): 17=Rock, 93=Psychedelic Rock, 175=Post-Punk,
+# 187=Indie Rock, 191=Psybient
+_GENRE_VOCAB = [f"g{i}" for i in range(192)]
+for _i, _name in [(17, "Rock"), (93, "Psychedelic Rock"), (175, "Post-Punk"), (187, "Indie Rock"), (191, "Psybient")]:
+    _GENRE_VOCAB[_i] = _name
+
+# table-driven port of TestGenreExpension (id3v2_test.go:133-155) plus
+# out-of-range / depth-3 cases; expectations are the reference's outputs
+_GENRE_CASES = {
+    "Test": "Test",
+    "((17)": "(17)",  # escaped '((' is a literal, not an index
+    "(17) Test": "Rock Test",
+    "(17)Test": "Rock Test",
+    "(17)": "Rock",
+    "Test(17)": "Test Rock",
+    "Test (17)": "Test Rock",
+    "(17)(93)": "Rock Psychedelic Rock",  # fixpoint: 2 rounds
+    "(17)Test(93)": "Rock Test Psychedelic Rock",
+    "(175)": "Post-Punk",
+    "(187)": "Indie Rock",
+    "(191)": "Psybient",
+    "(17)(93)(175)": "Rock Psychedelic Rock Post-Punk",  # depth-3 nest: 3 rounds
+    "(9999)": "(9999)",  # out of range → kept verbatim, loop ends
+    "(99999999999)": "(99999999999)",  # hostile >int index tolerated (ANSI try_cast)
+    "plain": "plain",
+}
+
+
 def test_expand_indexed_vocab(spark):
-    vocab = ["Blues", "Classic Rock", "Country"]
-    cases = {
-        "(0)": "Blues",
-        "(1)Flux": "Classic RockFlux",
-        "(2)(0)": "CountryBlues",  # fixpoint: two rounds
-        "((I can be your hero": "(I can be your hero",  # unescape
-        "(99)": "(99)",  # out of range → kept
-        "plain": "plain",
-    }
-    for s, want in cases.items():
-        assert _one(spark, P.expand_indexed_vocab("v", vocab), s) == want, s
+    for s, want in _GENRE_CASES.items():
+        assert _one(spark, P.expand_indexed_vocab("v", _GENRE_VOCAB), s) == want, s
+
+
+def test_expand_indexed_vocab_df_fixpoint(spark):
+    """The DataFrame-level TRUE fixpoint agrees with the reference outputs
+    on every case — including one needing more rounds than the Column
+    version's default unroll — and stops early on converged data."""
+    rows = [(s,) for s in _GENRE_CASES]
+    # 6 sibling indices: needs 6 rounds, beyond the Column default of 4
+    deep = "(17)(93)(175)(187)(191)(17)"
+    deep_want = "Rock Psychedelic Rock Post-Punk Indie Rock Psybient Rock"
+    df = spark.createDataFrame(rows + [(deep,)], ["v"])
+    out = P.expand_indexed_vocab_df(df, "v", _GENRE_VOCAB, out_col="expanded")
+    got = {r["v"]: r["expanded"] for r in out.collect()}
+    for s, want in _GENRE_CASES.items():
+        assert got[s] == want, s
+    assert got[deep] == deep_want
 
 
 def test_int_folds(spark):
