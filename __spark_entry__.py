@@ -958,6 +958,95 @@ FROM viol
 """
 
 
+def _violation_samples_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking/top-k sampling as a driver query: the first 3
+    violations per check under the stable (user_id, event_id) order —
+    the sink's sampled-report shape (cmd/tag/main.go:69-75 analog),
+    returned as rows so DuckDB can recompute the ranks exactly."""
+    from tag_spark.sources.sink import violation_samples_topk
+
+    return violation_samples_topk(_events_violations(spark, sf_dir), k=3, order_cols=("user_id", "event_id"))
+
+
+_VIOLATION_SAMPLES_SQL = f"""
+SELECT check_id, severity, user_id, event_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT check_id, severity, user_id, event_id,
+         row_number() OVER (
+           PARTITION BY check_id ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
+         ) AS sample_rank
+  FROM ({_EVENTS_VIOLATIONS_SQL}) v
+) WHERE sample_rank <= 3
+"""
+
+
+def _streaming_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed violation rates through a REAL Structured
+    Streaming aggregation: readStream over the events table, the stateless
+    suite's violation stream carrying ts, watermark + 1-day tumbling
+    windows, complete-mode memory sink (a file sink's append mode would
+    withhold every window above the final watermark — the classic
+    availableNow pitfall). The oracle recomputes the identical windowed
+    counts in batch SQL: Spark's epoch-aligned 1-day window start equals
+    date_trunc('day', ts)."""
+    import os
+    import tempfile
+    import uuid
+
+    from tag_spark.operators.generic_suites import events_suite
+    from tag_spark.streaming.validate_stream import stateless, violation_rate_windows
+
+    schema = _t(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="tag_spark_stream_rates_")
+    os.makedirs(f"{d}/src")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/src/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(f"{d}/src")
+    suite = stateless(events_suite())
+    viol = suite.violations(stream, shuffle_for_windows=False, carry_cols=("ts",))
+    # watermarks require TIMESTAMP (not the parquet NTZ load type); the
+    # session timezone is pinned UTC so the cast is lossless
+    viol = viol.withColumn("ts", F.col("ts").cast("timestamp"))
+    rates = violation_rate_windows(viol, window="1 day", watermark="1 day")
+    name = f"rates_{uuid.uuid4().hex[:8]}"
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "check_id",
+        "severity",
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+_STREAMING_RATES_SQL = """
+WITH viol AS (
+    SELECT 'event_type_in_vocab' AS check_id, 'error' AS severity, ts FROM events
+    WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+  UNION ALL
+    SELECT 'value_nonneg', 'error', ts FROM events WHERE value IS NOT NULL AND value < 0
+  UNION ALL
+    SELECT 'purchase_value_positive', 'warn', ts FROM events
+    WHERE event_type = 'purchase' AND NOT coalesce(value > 0, FALSE)
+  UNION ALL
+    SELECT 'event_id_not_null', 'error', ts FROM events WHERE event_id IS NULL
+  UNION ALL
+    SELECT 'ts_not_null', 'error', ts FROM events WHERE ts IS NULL
+)
+-- date_trunc('day', ...) returns DATE in DuckDB; re-cast to TIMESTAMP so
+-- the string form carries the midnight time part Spark's window start has
+SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS STRING) AS window_start, check_id, severity,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM viol WHERE ts IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def _payload_digests_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 metadata-invariant digest, md5 variant: per-user ordered digest
     over ONLY (event_type, value) — changing any other column must not move
@@ -1129,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_digests_md5": _payload_digests_md5,
         "exclusion_digests_md5": _exclusion_digests_md5,
         "streaming_events_violations": _streaming_events_violations,
+        "streaming_violation_rates": _streaming_violation_rates,
+        "violation_samples_topk": _violation_samples_topk,
     }
 
 
@@ -1215,6 +1306,8 @@ def oracle_sql() -> dict[str, str]:
         "payload_digests_md5": _PAYLOAD_DIGESTS_SQL,
         "exclusion_digests_md5": _EXCLUSION_DIGESTS_SQL,
         "streaming_events_violations": _STREAMING_EVENTS_SQL,
+        "streaming_violation_rates": _STREAMING_RATES_SQL,
+        "violation_samples_topk": _VIOLATION_SAMPLES_SQL,
     }
 
 

@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="run ordering checks through the two-phase salted window with this block size "
         "(bounds task size when single conversations are huge; output is byte-identical)",
     )
+    p.add_argument(
+        "--salt-auto-threshold",
+        type=int,
+        default=200_000,
+        help="without an explicit --salt-block-size, probe the conversation-size histogram "
+        "and auto-select the salted window (block size = this threshold) when the largest "
+        "conversation exceeds it; 0 disables the probe (the probe costs one map-side-partial "
+        "count-per-conversation aggregation)",
+    )
     args = p.parse_args(argv)
 
     from tag_spark.session import get_spark
@@ -73,7 +82,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         df = manifest.filter_pending(df, bucket_fn=suite.bucket_fn, n_buckets=suite.n_buckets, snapshot_id=snapshot)
         print(f"resume: skipping {len(done)} completed buckets", flush=True)
 
-    if args.salt_block_size:
+    # skew guard: an explicit --salt-block-size wins; otherwise one cheap
+    # aggregation decides the mode, so a planted 10^6-turn conversation
+    # cannot silently bottleneck a single ordering-window task
+    block_size = args.salt_block_size
+    if block_size is None and args.salt_auto_threshold > 0:
+        from tag_spark.operators.ordering import conv_size_histogram
+
+        max_conv = conv_size_histogram(df).agg(F.max("max_turns")).first()[0] or 0
+        if max_conv > args.salt_auto_threshold:
+            block_size = args.salt_auto_threshold
+            print(
+                f"ordering checks: salted two-phase mode auto-selected "
+                f"(max conversation size {max_conv} > threshold {args.salt_auto_threshold}, "
+                f"block_size={block_size})",
+                flush=True,
+            )
+        else:
+            print(
+                f"ordering checks: standard window mode "
+                f"(max conversation size {max_conv} <= threshold {args.salt_auto_threshold})",
+                flush=True,
+            )
+
+    if block_size:
         # hot-conversation mode: row-level checks via the suite (windows
         # removed), ordering checks via the bounded-task salted window
         from tag_spark.operators.checks import WindowCheck
@@ -95,7 +127,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             key_cols=suite.key_cols,
             hash_col=suite.hash_col,
         )
-        salted = salted_order_violations(df, block_size=args.salt_block_size)
+        salted = salted_order_violations(df, block_size=block_size)
         combined = row_suite.violations(df).unionByName(salted).persist(StorageLevel.MEMORY_AND_DISK)
         res = row_suite.assemble(df, combined, extra_checks={c.check_id: c.severity for c in window_checks})
     else:

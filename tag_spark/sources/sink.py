@@ -39,6 +39,24 @@ def summary_matrix(verdicts: DataFrame) -> DataFrame:
     )
 
 
+def violation_samples_topk(
+    violations: DataFrame, k: int = 5, order_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> DataFrame:
+    """§2.5 top-k sampling as a first-class operator: the first ``k``
+    violations per check under a stable (order_cols) order — a window rank
+    per check_id, never a global sort or driver collect. The JSON report
+    below uses the same shape; this returns the sampled ROWS so the result
+    is oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("check_id").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        violations.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("check_id", "severity", *order_cols, F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
 def violations_report_json(violations: DataFrame, limit_per_check: int = 5) -> DataFrame:
     """Per-check JSON summary with sampled violations — the MarshalIndent
     analog (cmd/tag/main.go:69-75). Sampling = rank ≤ k per check via a

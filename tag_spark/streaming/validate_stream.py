@@ -66,9 +66,12 @@ def violation_rate_windows(
     """Event-time windowed violation counts with late-data tolerance — the
     streaming verdict matrix. Requires the violation stream to carry an
     event-time column (join the source ts before calling, or validate a
-    stream that includes ts)."""
+    stream that includes ts). Rows with a NULL event time cannot be
+    assigned to any window and are excluded explicitly (they still surface
+    through the ts_not_null check's own violation rows)."""
     return (
-        violations.withWatermark(ts_col, watermark)
+        violations.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), "check_id", "severity")
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "check_id", "severity", "n_violations")

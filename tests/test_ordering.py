@@ -47,3 +47,32 @@ def test_conv_size_histogram(spark, transcripts):
     h = conv_size_histogram(transcripts)
     rows = h.collect()
     assert sum(r["n_convs"] for r in rows) == transcripts.select("conv_id").distinct().count()
+
+
+def test_auto_salt_mode_selection(spark, tmp_path, capsys):
+    """run_validation auto-selects the salted path when the largest
+    conversation exceeds the threshold, logs which mode ran, and the
+    violations output is byte-identical to the standard window mode."""
+    import run_validation
+    from tag_spark.functions.hashing import frame_digest
+
+    src = str(tmp_path / "src")
+    generate_transcripts(spark, n_convs=600, seed=7).write.parquet(src)
+
+    out_std = str(tmp_path / "out_std")
+    out_auto = str(tmp_path / "out_auto")
+    # threshold far above the hot conversation -> standard mode
+    assert run_validation.main(
+        ["--input", src, "--output", out_std, "--salt-auto-threshold", "1000000"], spark=spark
+    ) == 0
+    assert "standard window mode" in capsys.readouterr().out
+    # threshold below the hot conversation (~1% of all turns) -> salted mode
+    assert run_validation.main(
+        ["--input", src, "--output", out_auto, "--salt-auto-threshold", "16"], spark=spark
+    ) == 0
+    assert "salted two-phase mode auto-selected" in capsys.readouterr().out
+
+    cols = ["check_id", "severity", "conv_id", "turn_idx", "column", "reason", "text_sha1"]
+    v_std = spark.read.parquet(f"{out_std}/violations")
+    v_auto = spark.read.parquet(f"{out_auto}/violations")
+    assert frame_digest(v_auto, cols) == frame_digest(v_std, cols)
