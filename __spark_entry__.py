@@ -690,6 +690,29 @@ def _minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3, bands=32)
 
 
+def _minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup in the driver gate: documents are split into a
+    'stored corpus' (doc_id % 10 != 7) whose band table is built once, and
+    a 'new shard' (doc_id % 10 == 7) that joins against it — the daily
+    new-data-vs-corpus shape, corpus signatures never recomputed. At
+    recall-complete 32×2 banding with exact-Jaccard verification the result
+    equals the exact inverted-index pairs restricted to pairs touching the
+    shard, which is what the oracle computes."""
+    from tag_spark.operators.dedup import minhash_band_table, minhash_lsh_pairs_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    shard = d.filter(F.col("doc_id") % 10 == 7)
+    index = minhash_band_table(corpus, bands=32)
+    return minhash_lsh_pairs_incremental(shard, index, corpus_df=corpus, bands=32, threshold=0.3)
+
+
+_MINHASH_INCREMENTAL_SQL = _DOC_JACCARD_SQL.replace(
+    "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3",
+    "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3 AND (id_a % 10 = 7 OR id_b % 10 = 7)",
+)
+
+
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-derived SimHash so DuckDB can recompute the exact fingerprint
     (the xxhash64 engine variant stays the fast path, pytest-covered)."""
@@ -1207,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _embedding_topk,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
         "minhash_neardup_docs": _minhash_neardup_docs,
+        "minhash_incremental_docs": _minhash_incremental_docs,
         "simhash_docs": _simhash_docs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -1291,6 +1315,10 @@ def oracle_sql() -> dict[str, str]:
         # whenever candidate recall is complete — which 32x2 banding
         # guarantees for this corpus (all true pairs have j >= 0.9)
         "minhash_neardup_docs": _DOC_JACCARD_SQL,
+        # incremental LSH at recall-complete banding == exact pairs touching
+        # the shard (the band-table join only changes WHERE candidates come
+        # from, not which verified pairs survive)
+        "minhash_incremental_docs": _MINHASH_INCREMENTAL_SQL,
         "simhash_docs": _simhash_md5_oracle(),
         # LSH-ANN at recall-complete parameters == the exact top-k
         "lsh_ann_topk": _EMBEDDING_TOPK_SQL,

@@ -168,6 +168,57 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return wide.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"), "n_shingles")
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The PERSISTABLE LSH index: (id, band_idx, band_hash) — one row per
+    doc per band. This is the table a production pipeline stores (partition
+    or bucket by band_hash at scale) so that tomorrow's shard joins against
+    it without recomputing corpus signatures; the whole-corpus path
+    (minhash_lsh_pairs) and the incremental path
+    (minhash_lsh_pairs_incremental) both build candidates from exactly this
+    shape."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _verify_jaccard(cand: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs only: shingle sets are
+    recomputed for CANDIDATE ids alone (semi-join first), so the work is
+    candidate-bounded, never corpus-bounded."""
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    sh = (
+        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .join(ids, "id", "left_semi")
+    )
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -186,17 +237,7 @@ def minhash_lsh_pairs(
     16 bands × 4 rows catches j≥0.6 with ~0.97 probability. The join is an
     equi-join on (band_idx, band_hash): at 100 TB this is the only shape
     that survives, since bucket sizes — not n² — bound the work."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = minhash_band_table(df, id_col, text_col, k, num_hashes, bands, seed)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -210,22 +251,65 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    # exact verification on candidates only: shingle sets re-joined for
+    # candidate ids alone (arrays stay bounded per doc)
+    return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
-    # exact verification on candidates only: re-join shingle sets and compute
-    # true Jaccard via array intersection (arrays stay bounded per doc)
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
-    out = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6),
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    band_table: DataFrame,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Incremental dedup — the shape a daily pipeline actually runs:
+    \"dedupe the NEW shard against the existing corpus\" without
+    recomputing corpus signatures. Only the new shard is hashed; its band
+    keys equi-join the PERSISTED ``band_table`` (built once by
+    minhash_band_table, stored partitioned/bucketed by band_hash at scale)
+    for cross-shard candidates, and self-join for within-shard candidates.
+    Verification (exact Jaccard over ``corpus_df ∪ new_df`` text, required
+    when verify=True) is candidate-bounded: only docs appearing in a
+    candidate pair are re-shingled.
+
+    Pairs are normalized to id_a < id_b, so the verified output equals the
+    whole-corpus ``minhash_lsh_pairs`` restricted to pairs touching the new
+    shard (asserted in tests and by the driver's DuckDB oracle). Reference
+    analog: cmd/check re-walks only what you point it at
+    (cmd/check/main.go:77-99). To roll the index forward, append the new
+    shard's band table (returned by minhash_band_table on the shard) to the
+    stored one."""
+    nb = minhash_band_table(new_df, id_col, text_col, k, num_hashes, bands, seed)
+    all_bands = band_table.unionByName(nb)
+    a, b = nb.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return out
+    if not verify:
+        return cand
+    if corpus_df is None:
+        raise ValueError("verify=True needs corpus_df (text for the candidate pairs' corpus side)")
+    docs = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col))
+    )
+    return _verify_jaccard(cand, docs, id_col, text_col, k, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -290,21 +374,24 @@ def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return wide.select("id", simhash_hex.alias("simhash_hex"), "n_tokens")
 
 
-def simhash_pairs(
+def simhash_chunk_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
-    banding: split 64 bits into max_hamming+1 chunks — any pair within the
-    ball agrees exactly on ≥1 chunk → candidates via equi-join on
-    (chunk_idx, chunk_value), verified with bit_count(xor)."""
+    """The PERSISTABLE SimHash pigeonhole index: (id, simhash, chunk_idx,
+    chunk_val) — 64 bits split into max_hamming+1 chunks, so any pair
+    within the hamming ball agrees exactly on ≥1 chunk. Store it once;
+    whole-corpus (simhash_pairs) and incremental
+    (simhash_pairs_incremental) candidates both come from equi-joins on
+    (chunk_idx, chunk_val) against this shape. Verification needs no text:
+    the full fingerprint rides on every row."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sh = simhash(df, id_col, text_col, seed)
-    chunks = sh.select(
+    return sh.select(
         "id",
         "simhash",
         F.posexplode(
@@ -316,6 +403,20 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
+    banding: split 64 bits into max_hamming+1 chunks — any pair within the
+    ball agrees exactly on ≥1 chunk → candidates via equi-join on
+    (chunk_idx, chunk_value), verified with bit_count(xor)."""
+    chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -329,6 +430,47 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_incremental(
+    new_df: DataFrame,
+    chunk_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental SimHash near-dup: hash ONLY the new shard, equi-join its
+    chunks against the persisted ``chunk_table`` (plus the shard's own
+    chunks for within-shard pairs), verify hamming from the stored
+    fingerprints — no corpus re-hash, no corpus text read at all. Pairs
+    normalized to id_a < id_b; equals whole-corpus simhash_pairs restricted
+    to pairs touching the shard. Roll the index forward by appending the
+    shard's simhash_chunk_table."""
+    nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed)
+    all_chunks = chunk_table.unionByName(nb)
+    a, b = nb.alias("a"), all_chunks.alias("b")
+    swap = F.col("a.id") < F.col("b.id")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(swap, F.col("a.simhash")).otherwise(F.col("b.simhash")).alias("sim_a"),
+            F.when(swap, F.col("b.simhash")).otherwise(F.col("a.simhash")).alias("sim_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

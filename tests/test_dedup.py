@@ -131,3 +131,56 @@ def test_simhash_md5_variant_tracks_similarity(spark):
     diff = lambda a, b: sum(1 for x, y in zip(a, b) if x != y)  # noqa: E731
     assert diff(fp[1], fp[3]) <= 6
     assert diff(fp[1], fp[4]) > diff(fp[1], fp[3])
+
+
+def test_minhash_incremental_equals_full(docs, spark):
+    """Append a shard with cross-shard and within-shard duplicates: the
+    incremental path (persisted band table, only the shard re-hashed) must
+    find exactly the full-corpus pairs that touch the shard."""
+    from tag_spark.operators.dedup import minhash_band_table, minhash_lsh_pairs_incremental
+
+    shard = spark.createDataFrame(
+        [
+            (100, BASE),  # cross-shard exact dup of 0/1/6
+            (101, BASE.replace("birds", "crows")),  # cross-shard near dup
+            (102, "a totally novel shard document about iceberg snapshots and manifests"),
+            (103, "a totally novel shard document about iceberg snapshots and manifests "),  # within-shard dup of 102
+        ],
+        "doc_id long, text string",
+    )
+    kwargs = dict(k=3, num_hashes=64, bands=32, threshold=0.3)
+    index = minhash_band_table(docs, bands=32)  # built once from the corpus
+    inc = minhash_lsh_pairs_incremental(shard, index, corpus_df=docs, **kwargs)
+    full = minhash_lsh_pairs(docs.unionByName(shard), **kwargs)
+    shard_ids = {100, 101, 102, 103}
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] in shard_ids or r["id_b"] in shard_ids
+    }
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc.collect()}
+    assert got == want
+    assert any(a < 100 and b >= 100 for a, b, _ in got)  # cross-shard pairs found
+    assert (102, 103) in {(a, b) for a, b, _ in got}  # within-shard pair found
+    assert not any(a < 100 and b < 100 for a, b, _ in got)  # corpus-only pairs untouched
+
+
+def test_simhash_incremental_equals_full(docs, spark):
+    from tag_spark.operators.dedup import simhash_chunk_table, simhash_pairs_incremental
+
+    shard = spark.createDataFrame(
+        [(200, BASE), (201, BASE.replace("morning", "evening")), (202, "novel text entirely")],
+        "doc_id long, text string",
+    )
+    index = simhash_chunk_table(docs, max_hamming=6)
+    inc = simhash_pairs_incremental(shard, index, max_hamming=6)
+    full = simhash_pairs(docs.unionByName(shard), max_hamming=6)
+    shard_ids = {200, 201, 202}
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in full.collect()
+        if r["id_a"] in shard_ids or r["id_b"] in shard_ids
+    }
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect()}
+    assert got == want
+    assert any(a < 200 for a, b, _ in got)  # found pairs against the stored corpus
