@@ -775,30 +775,84 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_INDEX_CACHE[key].topk(_query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
-def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
-    l2 = (
-        "list_sum(list_transform(range(1, len({a})+1), i -> "
-        "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))^2))"
-    )
+def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with DISTRIBUTED k-means refinement (2 Lloyd rounds): centroids
+    start as the md5 sample, each round reassigns through the broadcast
+    numpy-matrix argmin (no per-centroid literal expressions — the 100 TB
+    shape, cf. the reference precomputing its CRC table once at init,
+    ogg.go:20-40) and recomputes 6dp-rounded per-cell means. The oracle
+    replays every round, the empty-cell carry rule, the final assignment
+    and the probe — the complete approximate algorithm — in SQL."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    key = ("ivf_kmeans", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        tag = sf_dir.rstrip("/").replace("/", "_")
+        _ANN_INDEX_CACHE[key] = IvfIndex(
+            _t(spark, sf_dir, "embeddings"),
+            n_cells=32,
+            kmeans_iters=2,
+            path=f"/tmp/tag_spark_ivf_index{tag}_c32k2",
+        )
+    return _ANN_INDEX_CACHE[key].topk(_query_vec(spark, sf_dir), k=10, nprobe=8)
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10, kmeans_iters: int = 0, dim: int = 64) -> str:
+    """DuckDB replay of the COMPLETE IVF algorithm — md5 centroid sample,
+    kmeans_iters Lloyd rounds (means rounded to 6dp each round, exactly as
+    kmeans_refine does; empty cells keep the previous centroid via the LEFT
+    JOIN + coalesce), final nearest-cell assignment (ties -> lowest cell),
+    nprobe probe, exact cosine re-rank. The CTE chain is generated
+    iteration-by-iteration so any kmeans_iters is expressible."""
+    rng = f"range(1, {dim + 1})"
+    d2_ec = f"list_sum(list_transform({rng}, i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])^2))"
+    d2_cq = f"list_sum(list_transform({rng}, i -> (c.cv[i] - CAST(qe[i] AS DOUBLE))^2))"
     cos = (
-        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)^2)))"
-        " * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)^2))))"
+        f"list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE)^2)))"
+        f" * sqrt(list_sum(list_transform({rng}, i -> CAST(qe[i] AS DOUBLE)^2))))"
     )
-    return f"""
-WITH cent AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, embedding AS cv
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    ctes = [
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
-), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-assign AS (
-  SELECT e.vec_id, e.embedding,
-    (SELECT c.cell FROM cent c ORDER BY {l2.format(a="e.embedding", b="c.cv")} ASC, c.cell ASC LIMIT 1) AS cell
-  FROM embeddings e
-), probe AS (
-  SELECT c.cell FROM cent c, q ORDER BY {l2.format(a="c.cv", b="qe")} ASC, c.cell ASC LIMIT {nprobe}
-)
+)""",
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+    ]
+    for j in range(1, kmeans_iters + 1):
+        ctes.append(assign_cte(f"assign{j - 1}", f"cent{j - 1}"))
+        ctes.append(
+            f"""cent{j} AS (
+  SELECT c.cell, coalesce(m.cv, c.cv) AS cv
+  FROM cent{j - 1} c LEFT JOIN (
+    SELECT cell, list(mv ORDER BY i) AS cv FROM (
+      SELECT cell, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mv
+      FROM assign{j - 1} CROSS JOIN (SELECT unnest({rng}) AS i) t
+      GROUP BY cell, i
+    ) GROUP BY cell
+  ) m USING (cell)
+)"""
+        )
+    fin = f"cent{kmeans_iters}"
+    ctes.append(assign_cte("afin", fin))
+    ctes.append(f"""probe AS (
+  SELECT c.cell FROM {fin} c CROSS JOIN q ORDER BY {d2_cq} ASC, c.cell ASC LIMIT {nprobe}
+)""")
+    return f"""
+WITH {", ".join(ctes)}
 SELECT a.vec_id, round({cos}, 6) AS cos_sim
-FROM assign a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+FROM afin a JOIN probe p ON a.cell = p.cell CROSS JOIN q
 ORDER BY cos_sim DESC, a.vec_id
 LIMIT {k}
 """
@@ -1234,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
+        "ivf_kmeans_topk": _ivf_kmeans_topk,
         "asset_binary_profile": _asset_binary_profile,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
@@ -1326,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         # sample -> L2 assignment -> nprobe probe -> exact re-rank), so it
         # verifies the approximate semantics themselves, not just recall
         "ivf_ann_topk": _ivf_oracle(n_cells=16, nprobe=4, k=10),
+        "ivf_kmeans_topk": _ivf_oracle(n_cells=32, nprobe=8, k=10, kmeans_iters=2),
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),

@@ -8,8 +8,9 @@
   lsh_ann_topk         random-hyperplane LSH: signature equi-join shrinks
                        the candidate set, then exact re-rank — the scale
                        path (bucket sizes, not n², bound the work)
-  ivf_topk             IVF-style: deterministic centroid sample, assign to
-                       nearest centroid, probe nprobe cells
+  ivf_topk             IVF: deterministic centroid sample (+ optional
+                       distributed k-means refinement), broadcast-matrix
+                       Arrow argmin assignment, probe nprobe cells
 
 Hyperplanes/centroids are derived deterministically from a seed (hash-based
 pseudo-random, no RNG state) so results are reproducible at any parallelism.
@@ -304,12 +305,13 @@ def lsh_neardup_pairs(
     )
 
 
-def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF index build: centroids = deterministic hash-sample of the corpus
-    (the n_cells ids with smallest md5(id) — reproducible 'random' sample an
-    independent SQL engine can replay, unlike xxhash64), then one pass
-    assigning every vector to its L2-nearest centroid (ties -> lowest cell,
-    matching an ``ORDER BY dist, cell LIMIT 1`` oracle)."""
+def _sample_centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> "object":
+    """Initial centroids = deterministic hash-sample of the corpus (the
+    n_cells ids with smallest md5(id) — a reproducible 'random' sample an
+    independent SQL engine can replay, unlike xxhash64). Returns an
+    (n_cells, dim) float64 numpy matrix; row index IS the cell id."""
+    import numpy as np
+
     sampled = (
         df.select(F.col(id_col), F.col(vec_col))
         .withColumn("__h", F.md5(F.col(id_col).cast("string")))
@@ -317,36 +319,137 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col
         .limit(n_cells)
         .collect()
     )
-    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
-    # nearest centroid = argmin over a distance ARRAY (a when-chain that
-    # nests the running best would blow up exponentially in expression size);
-    # array_position picks the FIRST minimum -> lowest cell wins ties
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(F.col(vec_col), _lit_vec(cv), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for _, cv in centroids
-        ]
-    )
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    assigned = df.withColumn("cell", cell)
-    return assigned, centroids
+    return np.array([[float(x) for x in r[vec_col]] for r in sampled], dtype=np.float64)
+
+
+def _assign_udf(df: DataFrame, centroids, out_type: str = "int", nprobe: int | None = None):
+    """Vectorized nearest-centroid via a BROADCAST numpy matrix + one Arrow
+    batch matmul per 10k rows — the assignment cost per row is a BLAS dot
+    against the shared matrix, independent of how the expression tree would
+    have grown. The round-2 shape inlined every centroid as a literal array
+    expression (O(n_cells) plan size per row — fine at 16 cells, hopeless at
+    the 10^3-10^5 cells a 100 TB corpus needs); precompute once + broadcast,
+    don't inline — same move as the reference's CRC table built once at init
+    (reference ogg.go:20-40).
+
+    ``nprobe=None`` returns the argmin cell (int); ``nprobe=k`` returns the
+    k nearest cells as array<int> ordered by (distance, cell) — ties resolve
+    to the LOWEST cell both ways (np.argmin / stable argsort take the first
+    minimum), matching an ``ORDER BY dist, cell`` oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    def _assign(vecs):
+        M = bc.value
+        cn = (M * M).sum(axis=1)
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        # chunk rows so the (rows x n_cells) distance block stays ~16 MB
+        # even at 10^5 cells (Arrow hands us up to 10k rows per batch)
+        step = max(1, 2_000_000 // max(1, M.shape[0]))
+        if nprobe is None:
+            out = np.empty(len(X), dtype=np.int32)
+        else:
+            out = np.empty((len(X), min(nprobe, M.shape[0])), dtype=np.int32)
+        for s in range(0, len(X), step):
+            xb = X[s : s + step]
+            d2 = (xb * xb).sum(axis=1)[:, None] - 2.0 * (xb @ M.T) + cn[None, :]
+            if nprobe is None:
+                out[s : s + step] = np.argmin(d2, axis=1)
+            else:
+                out[s : s + step] = np.argsort(d2, axis=1, kind="stable")[:, : out.shape[1]]
+        if nprobe is None:
+            return pd.Series(out)
+        return pd.Series(list(out))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, out_type)
+
+
+def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding", cell_col: str = "cell") -> DataFrame:
+    """One pass assigning every vector to its L2-nearest centroid (ties ->
+    lowest cell, matching an ``ORDER BY dist, cell LIMIT 1`` oracle)."""
+    return df.withColumn(cell_col, _assign_udf(df, centroids)(F.col(vec_col)))
+
+
+def kmeans_refine(df: DataFrame, centroids, iters: int = 1, vec_col: str = "embedding"):
+    """Lloyd (k-means) refinement of the sampled centroids, fully
+    distributed: each iteration is one assignment pass (broadcast argmin)
+    plus one map-side-combined groupBy producing per-cell per-coordinate
+    means — no driver-side data beyond the (n_cells x dim) matrix itself.
+    Means are ROUNDED TO 6 DECIMALS each iteration so an independent SQL
+    engine replays bit-identical centroids (FP summation-order drift is cut
+    at every round instead of compounding); a cell that loses all members
+    keeps its previous centroid (same rule as the oracle's LEFT JOIN +
+    coalesce)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    dim = cent.shape[1]
+    vec = F.col(vec_col)
+    for _ in range(max(0, iters)):
+        a = assign_cells(df, cent, vec_col)
+        aggs = [F.round(F.avg(F.element_at(vec, i + 1).cast("double")), 6).alias(f"c{i}") for i in range(dim)]
+        rows = a.groupBy("cell").agg(*aggs).collect()
+        nxt = cent.copy()
+        for r in rows:
+            nxt[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        cent = nxt
+    return cent
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so index
+    metadata lands on whatever FS the parquet itself uses (local, HDFS,
+    S3A) — local os.path/open would silently break on non-local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str | None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
 class IvfIndex:
-    """Persisted IVF index. Build ONCE: sample centroids, assign every
-    vector to its nearest cell, and materialize the assignment parquet
-    PARTITIONED BY cell — a probe is then a partition-pruned read of
-    nprobe/n_cells of the data (the scan's PartitionFilters prove it).
-    Without a path the assignment is cached in memory instead (the filter
-    still touches only matching rows, but no storage-level pruning).
+    """Persisted IVF index. Build ONCE: md5-sample initial centroids,
+    optionally refine them with ``kmeans_iters`` distributed Lloyd rounds,
+    assign every vector to its nearest cell through the broadcast-matrix
+    argmin (see _assign_udf — NO per-centroid literal expressions), and
+    materialize the assignment parquet PARTITIONED BY cell — a probe is
+    then a partition-pruned read of nprobe/n_cells of the data (the scan's
+    PartitionFilters prove it). Without a path the assignment is cached in
+    memory instead (the filter still touches only matching rows, but no
+    storage-level pruning).
 
-    Round-1 recomputed the assignment per query and filtered a computed
-    column over a full scan; this is the precomputed-index shape that
-    docstring promised."""
+    Scale shape: the centroid matrix is ≤ n_cells·dim·8 bytes (50 MB even
+    at 10^5 cells × 64 dims) broadcast once; a Lloyd round is one scan +
+    one map-side-combined agg; nothing else ever reaches the driver.
+    Refined centroids are persisted in the meta file, so re-opening a
+    fresh index over unchanged data skips the Lloyd passes entirely."""
 
     def __init__(
         self,
@@ -355,13 +458,16 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         path: str | None = None,
+        kmeans_iters: int = 0,
     ):
-        self.id_col, self.vec_col, self.n_cells = id_col, vec_col, n_cells
-        assigned, self.centroids = ivf_assign(df, n_cells, id_col, vec_col)
+        import numpy as np
+
+        self.id_col, self.vec_col, self.n_cells, self.kmeans_iters = id_col, vec_col, n_cells, kmeans_iters
+        spark = df.sparkSession
+        init = _sample_centroids(df, n_cells, id_col, vec_col)
         if path is not None:
             import hashlib
             import json
-            import os
 
             # the on-disk assignment is only valid for THE data that built
             # it: a stale directory (same path, different corpus) would be
@@ -378,26 +484,42 @@ class IvfIndex:
                 ).alias("h"),
             ).first()
             fp = hashlib.sha1(
-                json.dumps([digest_row["n"], digest_row["h"], n_cells, self.centroids]).encode()
+                json.dumps([digest_row["n"], digest_row["h"], n_cells, kmeans_iters, init.tolist()]).encode()
             ).hexdigest()
-            meta = f"{path}/_ivf_centroids.json"
-            stale = True
-            if os.path.exists(f"{path}/_SUCCESS") and os.path.exists(meta):
-                with open(meta) as f:
-                    stale = json.load(f).get("fingerprint") != fp
-            if stale:
-                assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-                with open(meta, "w") as f:
-                    json.dump({"fingerprint": fp, "n_cells": n_cells}, f)
-            self.assigned = df.sparkSession.read.parquet(path)
+            # meta I/O goes through the Hadoop FS API (like table_snapshot),
+            # so the index works wherever the parquet lives — not local-only
+            meta_path = f"{path}/_ivf_centroids.json"
+            meta_text = _fs_read_text(spark, meta_path) if _fs_exists(spark, f"{path}/_SUCCESS") else None
+            meta = json.loads(meta_text) if meta_text else None
+            if meta is not None and meta.get("fingerprint") == fp and "centroids" in meta:
+                self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+            else:
+                self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
+                assign_cells(df, self.centroids, vec_col).write.mode("overwrite").partitionBy("cell").parquet(path)
+                _fs_write_text(
+                    spark,
+                    meta_path,
+                    json.dumps(
+                        {
+                            "fingerprint": fp,
+                            "n_cells": n_cells,
+                            "kmeans_iters": kmeans_iters,
+                            "centroids": self.centroids.tolist(),
+                        }
+                    ),
+                )
+            self.assigned = spark.read.parquet(path)
         else:
-            self.assigned = assigned.persist()
+            self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
+            self.assigned = assign_cells(df, self.centroids, vec_col).persist()
 
     def probe_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
-        def d2(c):
-            return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+        import numpy as np
 
-        return [ci for ci, _ in sorted(self.centroids, key=lambda t: (d2(t[1]), t[0]))[:nprobe]]
+        q = np.asarray(query_vec, dtype=np.float64)
+        d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d2)), d2))  # (dist, cell) asc — lowest cell wins ties
+        return [int(c) for c in order[:nprobe]]
 
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         q = _lit_vec(query_vec)
@@ -411,25 +533,14 @@ class IvfIndex:
 
     def topk_batch(self, queries: DataFrame, k: int = 10, nprobe: int = 4, query_id_col: str = "query_id", query_vec_col: str = "embedding") -> DataFrame:
         """Batched IVF probe: each query computes its nprobe nearest cells
-        as a sorted (distance, cell) array expression (same tie-break as
-        probe_cells), explodes to (qid, cell), equi-joins the assignment
+        through the same broadcast-matrix argsort as probe_cells (ties ->
+        lowest cell), explodes to (qid, cell), equi-joins the assignment
         table on cell, exact-reranks inside the probed cells only —
-        nprobe/n_cells of the n·n_queries work."""
+        nprobe/n_cells of the n·n_queries work. The round-2 shape built a
+        sorted n_cells-struct array EXPRESSION per query row — the same
+        literal blowup the assignment had; one Arrow batch replaces it."""
         qv = F.col(query_vec_col)
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(qv, _lit_vec(cv), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(ci).cast("int").alias("c"),
-                )
-                for ci, cv in self.centroids
-            ]
-        )
-        probe = F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["c"])
+        probe = _assign_udf(queries, self.centroids, out_type="array<int>", nprobe=nprobe)(qv)
         # (qid, cell) pairs broadcast into the cell-partitioned assignment
         # scan; the query vector rides along (queries are the small side)
         qx = queries.select(F.col(query_id_col).alias("qid"), qv.alias("qv"), F.explode(probe).alias("cell"))
@@ -454,10 +565,11 @@ def ivf_topk(
     vec_col: str = "embedding",
     index: IvfIndex | None = None,
     path: str | None = None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Probe the nprobe nearest cells to the query, exact re-rank inside.
     Builds an IvfIndex if not supplied — callers issuing repeated queries
     should build it once (optionally materialized at ``path`` for real
     partition pruning)."""
-    idx = index or IvfIndex(df, n_cells, id_col, vec_col, path=path)
+    idx = index or IvfIndex(df, n_cells, id_col, vec_col, path=path, kmeans_iters=kmeans_iters)
     return idx.topk(query_vec, k, nprobe)

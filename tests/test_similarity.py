@@ -133,3 +133,71 @@ def test_ivf_index_rebuilds_on_stale_path(emb, qvec, tmp_path):
     m1 = os.path.getmtime(f"{p}/_ivf_centroids.json")
     IvfIndex(emb, n_cells=4, path=p)
     assert os.path.getmtime(f"{p}/_ivf_centroids.json") == m1
+
+
+def test_ivf_kmeans_exhaustive_probe_matches_exact(emb, qvec):
+    """kmeans-refined cells repartition the corpus but never lose vectors:
+    probing every cell is still exhaustive => equals brute force."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex(emb, n_cells=8, kmeans_iters=2)
+    got = idx.topk(qvec, k=5, nprobe=8).collect()
+    exact = cosine_topk(emb, qvec, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [(r["vec_id"], r["cos_sim"]) for r in exact]
+    # batch path probes through the same broadcast-matrix argsort
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id % 29 = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+    from tag_spark.operators.similarity import cosine_topk_batch
+
+    exact_b = {(r.query_id, r.vec_id) for r in cosine_topk_batch(emb, queries, k=5).collect()}
+    got_b = {(r.query_id, r.vec_id) for r in idx.topk_batch(queries, k=5, nprobe=8).collect()}
+    assert got_b == exact_b
+
+
+def test_ivf_assignment_plan_is_broadcast_argmin_not_literal_expressions(emb):
+    """The 100 TB gate: assignment must be ONE Arrow-batched argmin against
+    a broadcast matrix — the plan may not contain per-centroid literal
+    array expressions (the round-2 shape whose size grew O(n_cells))."""
+    from tag_spark.operators.similarity import _sample_centroids, assign_cells
+
+    cent = _sample_centroids(emb, 16, "vec_id", "embedding")
+    plan = assign_cells(emb, cent)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan  # Arrow-vectorized, NOT BatchEvalPython row-at-a-time
+    assert "BatchEvalPython" not in plan, plan
+    for marker in ("array_min", "array_position", "aggregate(", "CaseWhen"):
+        assert marker not in plan, (marker, plan)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that attracts no members must carry over unchanged (the
+    oracle's LEFT JOIN + coalesce rule), and member cells move to the
+    6dp-rounded mean of their members."""
+    import numpy as np
+
+    from tag_spark.operators.similarity import kmeans_refine
+
+    rows = [(i, [10.0, 10.0] if i % 2 == 0 else [10.0, 10.4]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    # cell 0 sits between the two point clouds and wins every vector
+    # (ties impossible); cell 1 is far away and must stay put
+    init = np.array([[10.0, 10.2], [-50.0, -50.0]])
+    out = kmeans_refine(df, init, iters=1)
+    assert out[1].tolist() == [-50.0, -50.0]
+    assert out[0].tolist() == [10.0, 10.2]  # mean of members, rounded 6dp
+
+
+def test_ivf_meta_io_via_hadoop_fs(emb, tmp_path, spark):
+    """Index metadata goes through the Hadoop FS API; refined centroids are
+    persisted and a rebuild over unchanged data reuses them without
+    re-running the Lloyd passes (fingerprint match short-circuit)."""
+    from tag_spark.operators.similarity import IvfIndex, _fs_read_text
+
+    p = str(tmp_path / "ivf_k")
+    idx1 = IvfIndex(emb, n_cells=4, kmeans_iters=1, path=p)
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{p}/_ivf_centroids.json"))
+    assert meta["kmeans_iters"] == 1 and len(meta["centroids"]) == 4
+    idx2 = IvfIndex(emb, n_cells=4, kmeans_iters=1, path=p)
+    assert (idx2.centroids == idx1.centroids).all()
