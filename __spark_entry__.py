@@ -797,28 +797,41 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_INDEX_CACHE[key].topk(_query_vec(spark, sf_dir), k=10, nprobe=8)
 
 
-def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10, kmeans_iters: int = 0, dim: int = 64) -> str:
-    """DuckDB replay of the COMPLETE IVF algorithm — md5 centroid sample,
-    kmeans_iters Lloyd rounds (means rounded to 6dp each round, exactly as
-    kmeans_refine does; empty cells keep the previous centroid via the LEFT
-    JOIN + coalesce), final nearest-cell assignment (ties -> lowest cell),
-    nprobe probe, exact cosine re-rank. The CTE chain is generated
+def _ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest — the daily-pipeline shape: the standing
+    index is built over the corpus (vec_id % 10 != 0, one Lloyd round);
+    the 'new shard' (vec_id % 10 == 0) is assigned to the FROZEN centroids
+    in one broadcast-argmin pass over only the new rows, no corpus
+    recompute (reference analog: cmd/check re-validates only what you
+    point it at, cmd/check/main.go:77-99). The oracle replays the corpus
+    sampling, its Lloyd round, and the shard assignment in SQL."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    key = ("ivf_incr", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = IvfIndex(emb.filter(F.col("vec_id") % 10 != 0), n_cells=16, kmeans_iters=1)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    return _ANN_INDEX_CACHE[key].assign_shard(new).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+def _ivf_cte_chain(n_cells: int, kmeans_iters: int, dim: int, where: str = "TRUE") -> tuple[list, str, str]:
+    """Shared CTE builder for the IVF oracles: md5 centroid sample over the
+    ``where``-filtered corpus, kmeans_iters Lloyd rounds (means rounded to
+    6dp each round, exactly as kmeans_refine does; empty cells keep the
+    previous centroid via the LEFT JOIN + coalesce). Returns (ctes,
+    final_cent_name, d2(e.embedding, c.cv) expression) — generated
     iteration-by-iteration so any kmeans_iters is expressible."""
     rng = f"range(1, {dim + 1})"
     d2_ec = f"list_sum(list_transform({rng}, i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])^2))"
-    d2_cq = f"list_sum(list_transform({rng}, i -> (c.cv[i] - CAST(qe[i] AS DOUBLE))^2))"
-    cos = (
-        f"list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE)^2)))"
-        f" * sqrt(list_sum(list_transform({rng}, i -> CAST(qe[i] AS DOUBLE)^2))))"
-    )
+    corpus = f"(SELECT vec_id, embedding FROM embeddings WHERE {where})"
 
     def assign_cte(name: str, cent: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2_ec} ASC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN {cent} c
+    FROM {corpus} e CROSS JOIN {cent} c
   ) WHERE rn = 1
 )"""
 
@@ -826,9 +839,8 @@ def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10, kmeans_iters: i
         f"""cent0 AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
-)""",
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+  FROM (SELECT vec_id, embedding FROM {corpus} s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
+)"""
     ]
     for j in range(1, kmeans_iters + 1):
         ctes.append(assign_cte(f"assign{j - 1}", f"cent{j - 1}"))
@@ -844,8 +856,31 @@ def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10, kmeans_iters: i
   ) m USING (cell)
 )"""
         )
-    fin = f"cent{kmeans_iters}"
-    ctes.append(assign_cte("afin", fin))
+    return ctes, f"cent{kmeans_iters}", d2_ec
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10, kmeans_iters: int = 0, dim: int = 64) -> str:
+    """DuckDB replay of the COMPLETE IVF algorithm — the shared centroid
+    chain (_ivf_cte_chain) plus final nearest-cell assignment (ties ->
+    lowest cell), nprobe probe, exact cosine re-rank."""
+    rng = f"range(1, {dim + 1})"
+    d2_cq = f"list_sum(list_transform({rng}, i -> (c.cv[i] - CAST(qe[i] AS DOUBLE))^2))"
+    cos = (
+        f"list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({rng}, i -> CAST(a.embedding[i] AS DOUBLE)^2)))"
+        f" * sqrt(list_sum(list_transform({rng}, i -> CAST(qe[i] AS DOUBLE)^2))))"
+    )
+    ctes, fin, _ = _ivf_cte_chain(n_cells, kmeans_iters, dim)
+    ctes = ctes[:1] + ["q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"] + ctes[1:]
+    # final assignment over the full corpus against the refined centroids
+    _, _, d2_ec = _ivf_cte_chain(n_cells, kmeans_iters, dim)
+    ctes.append(f"""afin AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)""")
     ctes.append(f"""probe AS (
   SELECT c.cell FROM {fin} c CROSS JOIN q ORDER BY {d2_cq} ASC, c.cell ASC LIMIT {nprobe}
 )""")
@@ -855,6 +890,22 @@ SELECT a.vec_id, round({cos}, 6) AS cos_sim
 FROM afin a JOIN probe p ON a.cell = p.cell CROSS JOIN q
 ORDER BY cos_sim DESC, a.vec_id
 LIMIT {k}
+"""
+
+
+def _ivf_incremental_oracle(n_cells: int = 16, kmeans_iters: int = 1, dim: int = 64) -> str:
+    """DuckDB replay of incremental ingest: the centroid chain is built
+    over the STANDING corpus only (vec_id % 10 <> 0, including its Lloyd
+    round), then the new shard (vec_id % 10 = 0) is assigned to those
+    frozen centroids — exactly IvfIndex.assign_shard."""
+    ctes, fin, d2_ec = _ivf_cte_chain(n_cells, kmeans_iters, dim, where="vec_id % 10 <> 0")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2_ec} ASC, c.cell ASC) AS rn
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) e CROSS JOIN {fin} c
+) WHERE rn = 1
 """
 
 
@@ -1289,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "ivf_kmeans_topk": _ivf_kmeans_topk,
+        "ivf_incremental_assign": _ivf_incremental_assign,
         "asset_binary_profile": _asset_binary_profile,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
@@ -1382,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         # verifies the approximate semantics themselves, not just recall
         "ivf_ann_topk": _ivf_oracle(n_cells=16, nprobe=4, k=10),
         "ivf_kmeans_topk": _ivf_oracle(n_cells=32, nprobe=8, k=10, kmeans_iters=2),
+        "ivf_incremental_assign": _ivf_incremental_oracle(n_cells=16, kmeans_iters=1),
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),

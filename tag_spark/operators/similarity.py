@@ -434,6 +434,28 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _corpus_digest(df: DataFrame, id_col: str, vec_col: str) -> tuple[int, int]:
+    """Order-insensitive corpus identity: (row count, sum of per-row
+    bounded hashes). ADDITIVE over disjoint shards — digest(old ∪ new) =
+    digest(old) + digest(new) componentwise — which is what makes
+    append_shard able to advance the index fingerprint without rescanning
+    the standing corpus. pmod keeps the ANSI-mode sum far from long
+    overflow (2^31 · 10^12 rows ≈ 2^71 would overflow; per-row values are
+    < 2^31 and 10^12 of them stay < 2^62)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.col(vec_col).cast("string")), F.lit(1 << 31))).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _ivf_fingerprint(n: int, h: int, n_cells: int, kmeans_iters: int) -> str:
+    import hashlib
+    import json
+
+    return hashlib.sha1(json.dumps([n, h, n_cells, kmeans_iters]).encode()).hexdigest()
+
+
 class IvfIndex:
     """Persisted IVF index. Build ONCE: md5-sample initial centroids,
     optionally refine them with ``kmeans_iters`` distributed Lloyd rounds,
@@ -460,32 +482,26 @@ class IvfIndex:
         path: str | None = None,
         kmeans_iters: int = 0,
     ):
+        import json
+
         import numpy as np
 
         self.id_col, self.vec_col, self.n_cells, self.kmeans_iters = id_col, vec_col, n_cells, kmeans_iters
-        spark = df.sparkSession
-        init = _sample_centroids(df, n_cells, id_col, vec_col)
+        self.path = path
+        self._spark = spark = df.sparkSession
         if path is not None:
-            import hashlib
-            import json
-
             # the on-disk assignment is only valid for THE data that built
             # it: a stale directory (same path, different corpus) would be
             # probed with mismatched cells or stale vectors silently. The
-            # fingerprint must cover the WHOLE corpus, not just the sampled
-            # centroids — an appended or re-embedded vector usually leaves
-            # the md5-smallest sample unchanged. One order-insensitive
-            # bounded-sum digest over (id, vector) plus the row count
-            # (pmod keeps the ANSI-mode sum far from long overflow).
-            digest_row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.col(vec_col).cast("string")), F.lit(1 << 31))
-                ).alias("h"),
-            ).first()
-            fp = hashlib.sha1(
-                json.dumps([digest_row["n"], digest_row["h"], n_cells, kmeans_iters, init.tolist()]).encode()
-            ).hexdigest()
+            # fingerprint covers the WHOLE corpus through the additive
+            # (count, bounded-hash-sum) digest — an appended or re-embedded
+            # vector always changes it (the md5-smallest centroid sample
+            # usually would not, and being a pure function of the corpus it
+            # adds nothing, so it is deliberately NOT part of the
+            # fingerprint: that is what lets append_shard advance it
+            # without rescanning the standing corpus).
+            self._n, self._h = _corpus_digest(df, id_col, vec_col)
+            fp = _ivf_fingerprint(self._n, self._h, n_cells, kmeans_iters)
             # meta I/O goes through the Hadoop FS API (like table_snapshot),
             # so the index works wherever the parquet lives — not local-only
             meta_path = f"{path}/_ivf_centroids.json"
@@ -494,24 +510,60 @@ class IvfIndex:
             if meta is not None and meta.get("fingerprint") == fp and "centroids" in meta:
                 self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
             else:
+                init = _sample_centroids(df, n_cells, id_col, vec_col)
                 self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
                 assign_cells(df, self.centroids, vec_col).write.mode("overwrite").partitionBy("cell").parquet(path)
-                _fs_write_text(
-                    spark,
-                    meta_path,
-                    json.dumps(
-                        {
-                            "fingerprint": fp,
-                            "n_cells": n_cells,
-                            "kmeans_iters": kmeans_iters,
-                            "centroids": self.centroids.tolist(),
-                        }
-                    ),
-                )
+                self._write_meta(fp)
             self.assigned = spark.read.parquet(path)
         else:
+            init = _sample_centroids(df, n_cells, id_col, vec_col)
             self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
             self.assigned = assign_cells(df, self.centroids, vec_col).persist()
+
+    def _write_meta(self, fingerprint: str) -> None:
+        import json
+
+        _fs_write_text(
+            self._spark,
+            f"{self.path}/_ivf_centroids.json",
+            json.dumps(
+                {
+                    "fingerprint": fingerprint,
+                    "n_cells": self.n_cells,
+                    "kmeans_iters": self.kmeans_iters,
+                    "n": self._n,
+                    "h": self._h,
+                    "centroids": self.centroids.tolist(),
+                }
+            ),
+        )
+
+    def assign_shard(self, new_df: DataFrame) -> DataFrame:
+        """Incremental ingest, read-only: assign a NEW shard of vectors to
+        this index's FROZEN centroids — one broadcast-argmin pass over just
+        the new rows, no corpus recompute. The daily-pipeline shape
+        ("index what arrived today against the standing corpus"),
+        mirroring minhash_lsh_pairs_incremental for signatures; reference
+        analog: cmd/check re-walks only what you point it at
+        (cmd/check/main.go:77-99)."""
+        return assign_cells(new_df, self.centroids, self.vec_col)
+
+    def append_shard(self, new_df: DataFrame) -> None:
+        """Incremental ingest, persisted: append the new shard's assignment
+        to the cell-partitioned parquet and advance the corpus fingerprint
+        ADDITIVELY (see _corpus_digest) — a later IvfIndex over the full
+        appended corpus computes the same (n, h) and fast-paths to these
+        frozen centroids instead of rebuilding. Centroids deliberately do
+        NOT drift on append (probes must stay consistent with every
+        partition already written); rebuild when drift warrants it."""
+        if self.path is None:
+            raise ValueError("append_shard requires a path-backed index")
+        assign_cells(new_df, self.centroids, self.vec_col).write.mode("append").partitionBy("cell").parquet(self.path)
+        dn, dh = _corpus_digest(new_df, self.id_col, self.vec_col)
+        self._n += dn
+        self._h += dh
+        self._write_meta(_ivf_fingerprint(self._n, self._h, self.n_cells, self.kmeans_iters))
+        self.assigned = self._spark.read.parquet(self.path)
 
     def probe_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
         import numpy as np

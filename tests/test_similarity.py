@@ -201,3 +201,33 @@ def test_ivf_meta_io_via_hadoop_fs(emb, tmp_path, spark):
     assert meta["kmeans_iters"] == 1 and len(meta["centroids"]) == 4
     idx2 = IvfIndex(emb, n_cells=4, kmeans_iters=1, path=p)
     assert (idx2.centroids == idx1.centroids).all()
+
+
+def test_ivf_append_shard_incremental(emb, qvec, tmp_path, spark):
+    """append_shard assigns ONLY the new rows against frozen centroids,
+    appends to the cell-partitioned parquet, and advances the ADDITIVE
+    fingerprint — reopening over the full appended corpus reuses the
+    frozen centroids instead of rebuilding."""
+    import os
+
+    from tag_spark.operators.similarity import IvfIndex
+
+    corpus = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")  # includes vec_id 0 == the query itself
+    p = str(tmp_path / "ivf_incr")
+    idx = IvfIndex(corpus, n_cells=4, kmeans_iters=1, path=p)
+    idx.append_shard(new)
+    # probes now see the appended vectors: exhaustive probe == exact(union)
+    got = idx.topk(qvec, k=5, nprobe=4).collect()
+    exact = cosine_topk(emb, qvec, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    # reopen over the FULL corpus: additive fingerprint matches, so the
+    # frozen centroids are reused and the meta file is not rewritten
+    m1 = os.path.getmtime(f"{p}/_ivf_centroids.json")
+    idx2 = IvfIndex(emb, n_cells=4, kmeans_iters=1, path=p)
+    assert (idx2.centroids == idx.centroids).all()
+    assert os.path.getmtime(f"{p}/_ivf_centroids.json") == m1
+    # read-only shard assignment requires no path and rescans nothing
+    mem_idx = IvfIndex(corpus, n_cells=4, kmeans_iters=1)
+    a = mem_idx.assign_shard(new)
+    assert a.count() == new.count() and "cell" in a.columns
