@@ -540,6 +540,85 @@ FROM t GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-mix construction: at most k=5 documents per
+    language, chosen by (md5(doc_id), doc_id) order — deterministic at any
+    parallelism, one shuffle on the stratum key."""
+    from tag_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", k=5, id_col="doc_id").select("lang", "doc_id")
+
+
+_DOC_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def _doc_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic ~20% subsample as a row-local md5 filter (no
+    shuffle; dropped rows never leave the scan stage) — summarized so the
+    oracle pins exactly which rows survived."""
+    from tag_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_sample(d, 0.2, "doc_id")
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_DOC_HASH_SAMPLE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '33333333'
+"""
+
+
+def _embedding_quantized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric per-vector quantization (scale = max|x|/127,
+    q = round(x/scale)) — the 4x-smaller-vector form for shuffle-heavy ANN
+    candidate stages. Per-vector stats pin the scale and every quantized
+    coordinate (sum/min/max over q) against the oracle's replay."""
+    from tag_spark.operators.sampling import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+_EMBEDDING_QUANTIZED_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) END AS qv
+  FROM q
+)
+SELECT vec_id, round(scale, 6) AS scale6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM qq
+"""
+
+
 def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tag_spark.operators.text import lang_id, md5_fingerprint, quality_score, token_count
 
@@ -1331,6 +1410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup_summary": _doc_exact_dedup_summary,
         "doc_len_histogram": _doc_len_histogram,
         "doc_profile": _doc_profile,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_hash_sample_stats": _doc_hash_sample_stats,
+        "embedding_quantized_stats": _embedding_quantized_stats,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "embedding_topk": _embedding_topk,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
@@ -1415,6 +1497,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY 1"
         ),
         "doc_profile": _DOC_PROFILE_SQL,
+        "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_hash_sample_stats": _DOC_HASH_SAMPLE_SQL,
+        "embedding_quantized_stats": _EMBEDDING_QUANTIZED_SQL,
         "doc_jaccard_pairs": _DOC_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
