@@ -439,12 +439,17 @@ def _corpus_digest(df: DataFrame, id_col: str, vec_col: str) -> tuple[int, int]:
     bounded hashes). ADDITIVE over disjoint shards — digest(old ∪ new) =
     digest(old) + digest(new) componentwise — which is what makes
     append_shard able to advance the index fingerprint without rescanning
-    the standing corpus. pmod keeps the ANSI-mode sum far from long
-    overflow (2^31 · 10^12 rows ≈ 2^71 would overflow; per-row values are
-    < 2^31 and 10^12 of them stay < 2^62)."""
+    the standing corpus. The sum accumulates as decimal(38,0): 10^12 rows
+    of 2^31-bounded values reach ~2^71, which would overflow a LONG sum
+    (an ANSI-mode error at exactly the scale this engine targets);
+    decimal(38,0) holds ~10^26 such rows."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.col(vec_col).cast("string")), F.lit(1 << 31))).alias("h"),
+        F.sum(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.col(vec_col).cast("string")), F.lit(1 << 31)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("h"),
     ).first()
     return int(row["n"]), int(row["h"] or 0)
 
