@@ -95,6 +95,33 @@ def cosine_self_join(
     )
 
 
+def _scan_row_count(df: DataFrame) -> int:
+    """Row count for partition SIZING: when df is a pure parquet scan (no
+    Filter in the optimized plan), read it from the file footers instead of
+    running a full-scan count job — at 100 TB the footers are metadata the
+    table already paid for (same reason Iceberg keeps row counts in its
+    manifests). Falls back to count() for transformed inputs, non-local
+    storage, or any surprise."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        files = df.inputFiles()
+        if files and "Filter" not in plan and all(f.endswith(".parquet") for f in files):
+            from urllib.parse import unquote, urlparse
+
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("file", ""):
+                    raise ValueError("non-local path; fall back to a count job")
+                total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+            return total
+    except Exception:
+        pass
+    return df.count()
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane from integer hashing
     (splitmix-style), reproducible across engines and runs."""
@@ -187,8 +214,9 @@ class LshAnnIndex:
         # right-size partitions at build time: query latency on a cached
         # index is dominated by task scheduling, not compute — ~100k vectors
         # per task keeps a small index a 1-2 task job while large corpora
-        # keep full parallelism (the one-time count is part of the build)
-        n_parts = max(1, -(-df.count() // 100_000))
+        # keep full parallelism. Sizing reads parquet footers when the
+        # input is a pure scan (no count job; see _scan_row_count).
+        n_parts = max(1, -(-_scan_row_count(df) // 100_000))
         self.indexed = (
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.array(*enc).alias("sigs"))
             .repartition(n_parts)

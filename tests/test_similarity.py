@@ -231,3 +231,14 @@ def test_ivf_append_shard_incremental(emb, qvec, tmp_path, spark):
     mem_idx = IvfIndex(corpus, n_cells=4, kmeans_iters=1)
     a = mem_idx.assign_shard(new)
     assert a.count() == new.count() and "cell" in a.columns
+
+
+def test_scan_row_count_uses_footers_for_pure_scans(spark, emb):
+    """Pure parquet scans size from file footers (no count job); filtered
+    or transformed inputs fall back to an exact count()."""
+    from tag_spark.operators.similarity import _scan_row_count
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert _scan_row_count(raw) == raw.count()
+    filtered = raw.filter("vec_id % 2 = 0")
+    assert _scan_row_count(filtered) == filtered.count()  # must NOT overcount from footers
