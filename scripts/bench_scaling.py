@@ -124,8 +124,10 @@ def main() -> int:
             "levels": {f"local{c}": levels[c] for c in sorted(levels)},
             "scaling_efficiency": pairs,
         }
-    best_pair = max(e for m in out["modes"].values() for e in m["scaling_efficiency"].values())
-    out["gate"] = {"threshold": 0.8, "best_pair_efficiency": best_pair, "verdict": "PASS" if best_pair >= 0.8 else "FAIL"}
+    effs = [e for m in out["modes"].values() for e in m["scaling_efficiency"].values()]
+    if effs:  # a single-level (re-sampling) run has no N->4N pairs to gate
+        best_pair = max(effs)
+        out["gate"] = {"threshold": 0.8, "best_pair_efficiency": best_pair, "verdict": "PASS" if best_pair >= 0.8 else "FAIL"}
     print(json.dumps(out, indent=2))
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json"), "w") as f:
         json.dump(out, f, indent=2)
