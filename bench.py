@@ -84,7 +84,7 @@ def main() -> int:
         # observed 5s vs 65s back-to-back); take best-of-N — a steal-inflated
         # first run is precisely when the retry matters — but shed retries
         # once the run is already long (emitting the JSON line wins)
-        if elapsed() > 240:
+        if elapsed() > 420:
             attempts = 1
         best = float("inf")
         for _ in range(attempts):
@@ -137,6 +137,104 @@ def main() -> int:
 
     run_bucketed_suite()  # warmup
     bench("transcript_suite_bucketed", run_bucketed_suite)
+
+    # --- north-rule scaling evidence, re-measured EVERY round: the same
+    # bucketed suite at N and 4N cores, sequential sessions (never two Spark
+    # JVMs at once on this box). 2->8 is the unsaturated pair the gate is
+    # judged on; 8->32 is reported too for transparency — it saturates the
+    # single memory bus of this VM (a pure-JVM sha1 scan caps the same way;
+    # see BASELINE.md), which a real multi-node cluster does not.
+    # Runs EARLY, right after the bucketed table exists: the 2->8 gate is
+    # the north-rule artifact of record, so a steal storm in the long ANN
+    # tail must never starve its retry budget (observed: a storm-poisoned
+    # late scaling block recorded 0.198 with zero budget left to retry).
+    spark.stop()  # never two concurrent Spark JVMs on this box
+
+    def suite_time_at(cores: int, warm: bool) -> float:
+        s = get_spark(app_name=f"tag-spark-bench-c{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores)
+        try:
+            try:
+                b = s.table(table)  # bucketed metadata -> zero-exchange plan
+            except Exception:
+                b = s.read.parquet(tloc)  # plain scan; Spark adds the window exchange
+            sc_suite = default_transcript_suite(dim_role(s), dim_tool(s))
+
+            def run():
+                sc_suite.violations(b, shuffle_for_windows=False).write.format("noop").mode("overwrite").save()
+
+            if warm:
+                run()  # first visit: codegen JIT + page cache
+            t0 = time.monotonic()
+            run()
+            return time.monotonic() - t0
+        finally:
+            s.stop()
+
+    # time-budget guard: under a host-steal storm (identical jobs measured
+    # 2s-60s on this VM) the scaling block must not push the whole bench
+    # past the driver's timeout and lose the JSON line entirely — measure
+    # as many levels as fit, emit whatever pairs exist.
+    scaling: dict[str, object] = {}
+    times: dict[int, float] = {}
+    # INTERLEAVED rounds (32,8,2 x3): a steal storm hitting one time
+    # window then distorts every level equally instead of poisoning a
+    # single level's ratio; per-level best-of-rounds is taken. Three rounds
+    # because the 0.8 efficiency gate rides on these ratios and single
+    # samples on this VM swing +/-15%. Round 0 ALWAYS completes (a gate
+    # ratio from zero or one level is worthless); later rounds shed by
+    # budget, 32c first — the 2->8 gate pair keeps priority since the
+    # recorded eff_2_to_8 IS the north-rule artifact of record.
+    rounds_run = 0
+    for rnd in range(3):
+        for c in (32, 8, 2):  # cheapest first so a truncated run still has 8->32
+            if rnd > 0 and elapsed() > (470 if c == 32 else 520):
+                scaling["truncated"] = True
+                continue
+            t = suite_time_at(c, warm=c not in times)
+            times[c] = min(times.get(c, 9e9), t)
+        rounds_run = rnd + 1
+        if "truncated" in scaling:
+            break
+    # gate-focused retries: when the 2->8 ratio still reads below 0.8 and
+    # budget remains, take more best-of samples of BOTH levels (min over
+    # more samples converges to true time for both sides — this de-noises,
+    # it cannot manufacture scaling that isn't there). Recorded explicitly.
+    extra = 0
+    while (
+        2 in times
+        and 8 in times
+        and times[2] / (4 * times[8]) < 0.8
+        and elapsed() < 560
+        and extra < 2
+    ):
+        times[8] = min(times[8], suite_time_at(8, warm=False))
+        times[2] = min(times[2], suite_time_at(2, warm=False))
+        extra += 1
+    scaling["rounds_run"] = rounds_run
+    scaling["gate_retry_rounds"] = extra
+    for c, t in times.items():
+        scaling[f"turns_per_sec_{c}c"] = round(n_turns / t, 1)
+    if 2 in times and 8 in times:
+        scaling["eff_2_to_8"] = round(times[2] / (4 * times[8]), 3)
+        # the north-rule gate (>=0.8 between N and 4N) as an explicit
+        # boolean — a miss must be loud, not a decimal to squint at
+        scaling["gate_pass"] = scaling["eff_2_to_8"] >= 0.8
+    if 8 in times and 32 in times:
+        scaling["eff_8_to_32"] = round(times[8] / (4 * times[32]), 3)
+    scaling["note"] = (
+        "single-box host-steal swings throughput ±3x between minutes; the "
+        "controlled best-of-3 grid (machine-idle) lives in BENCH_SCALING.json "
+        "and BASELINE.md — bucketed eff 2->8 measured 0.82-1.03 there"
+    )
+
+    # restart the main session for the remaining benches (the scaling block
+    # owns the box while it runs; everything below re-reads its inputs)
+    spark = get_spark(app_name="tag-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    transcripts = spark.read.parquet(tpath)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+
     bench("events_suite", lambda: force(violation_keys(events_suite(), events, ("user_id", "event_id"))))
     bench(
         "lineitem_suite",
@@ -193,7 +291,7 @@ def main() -> int:
         t0 = time.monotonic()
         fn()
         t = time.monotonic() - t0
-        if elapsed() > 240:
+        if elapsed() > 700:
             timings[name] = round(t, 3)
             return
         t1 = time.monotonic()
@@ -213,11 +311,11 @@ def main() -> int:
     # recorded as a boolean on the output object, never as a fake timing
     # entry (a synthetic 1.0s line would inflate total_s and masquerade as
     # a real query in the emitted JSON)
-    # 360s: under a moderate steal storm the main suite alone eats ~300s
-    # (observed 28s transcript_suite best-of-3 vs 7.6s calm), and this
-    # block carries the IVF-256-vs-LSH batched evidence — skip it only
-    # when the storm is severe enough to threaten the JSON line itself
-    skip_200k = elapsed() > 360
+    # 560s: the early-running scaling block already spent its own budget
+    # by the time we get here (~250-300s calm), and this block carries the
+    # IVF-256-vs-LSH batched evidence — skip it only when the storm is
+    # severe enough to threaten the JSON line itself
+    skip_200k = elapsed() > 560
     ivf256_build = None
     ann_recall = None
     if not skip_200k:
@@ -304,89 +402,6 @@ def main() -> int:
         "ann_recall": ann_recall,
     }
     spark.stop()
-
-    # --- north-rule scaling evidence, re-measured EVERY round: the same
-    # bucketed suite at N and 4N cores, sequential sessions (never two Spark
-    # JVMs at once on this box). 2->8 is the unsaturated pair the gate is
-    # judged on; 8->32 is reported too for transparency — it saturates the
-    # single memory bus of this VM (a pure-JVM sha1 scan caps the same way;
-    # see BASELINE.md), which a real multi-node cluster does not.
-    def suite_time_at(cores: int, warm: bool) -> float:
-        s = get_spark(app_name=f"tag-spark-bench-c{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores)
-        try:
-            try:
-                b = s.table(table)  # bucketed metadata -> zero-exchange plan
-            except Exception:
-                b = s.read.parquet(tloc)  # plain scan; Spark adds the window exchange
-            sc_suite = default_transcript_suite(dim_role(s), dim_tool(s))
-
-            def run():
-                sc_suite.violations(b, shuffle_for_windows=False).write.format("noop").mode("overwrite").save()
-
-            if warm:
-                run()  # first visit: codegen JIT + page cache
-            t0 = time.monotonic()
-            run()
-            return time.monotonic() - t0
-        finally:
-            s.stop()
-
-    # time-budget guard: under a host-steal storm (identical jobs measured
-    # 2s-60s on this VM) the scaling block must not push the whole bench
-    # past the driver's timeout and lose the JSON line entirely — measure
-    # as many levels as fit, emit whatever pairs exist.
-    scaling: dict[str, object] = {}
-    times: dict[int, float] = {}
-    # INTERLEAVED rounds (32,8,2 x3): a steal storm hitting one time
-    # window then distorts every level equally instead of poisoning a
-    # single level's ratio; per-level best-of-rounds is taken. Three rounds
-    # because the 0.8 efficiency gate rides on these ratios and single
-    # samples on this VM swing +/-15%. Round 0 ALWAYS completes (a gate
-    # ratio from zero or one level is worthless); later rounds shed by
-    # budget, 32c first — the 2->8 gate pair keeps priority since the
-    # recorded eff_2_to_8 IS the north-rule artifact of record.
-    rounds_run = 0
-    for rnd in range(3):
-        for c in (32, 8, 2):  # cheapest first so a truncated run still has 8->32
-            if rnd > 0 and elapsed() > (470 if c == 32 else 520):
-                scaling["truncated"] = True
-                continue
-            t = suite_time_at(c, warm=c not in times)
-            times[c] = min(times.get(c, 9e9), t)
-        rounds_run = rnd + 1
-        if "truncated" in scaling:
-            break
-    # gate-focused retries: when the 2->8 ratio still reads below 0.8 and
-    # budget remains, take more best-of samples of BOTH levels (min over
-    # more samples converges to true time for both sides — this de-noises,
-    # it cannot manufacture scaling that isn't there). Recorded explicitly.
-    extra = 0
-    while (
-        2 in times
-        and 8 in times
-        and times[2] / (4 * times[8]) < 0.8
-        and elapsed() < 560
-        and extra < 2
-    ):
-        times[8] = min(times[8], suite_time_at(8, warm=False))
-        times[2] = min(times[2], suite_time_at(2, warm=False))
-        extra += 1
-    scaling["rounds_run"] = rounds_run
-    scaling["gate_retry_rounds"] = extra
-    for c, t in times.items():
-        scaling[f"turns_per_sec_{c}c"] = round(n_turns / t, 1)
-    if 2 in times and 8 in times:
-        scaling["eff_2_to_8"] = round(times[2] / (4 * times[8]), 3)
-        # the north-rule gate (>=0.8 between N and 4N) as an explicit
-        # boolean — a miss must be loud, not a decimal to squint at
-        scaling["gate_pass"] = scaling["eff_2_to_8"] >= 0.8
-    if 8 in times and 32 in times:
-        scaling["eff_8_to_32"] = round(times[8] / (4 * times[32]), 3)
-    scaling["note"] = (
-        "single-box host-steal swings throughput ±3x between minutes; the "
-        "controlled best-of-3 grid (machine-idle) lives in BENCH_SCALING.json "
-        "and BASELINE.md — bucketed eff 2->8 measured 0.82-1.03 there"
-    )
     out["scaling"] = scaling
 
     print(json.dumps(out))
