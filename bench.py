@@ -222,7 +222,7 @@ def main() -> int:
     extra = 0
     while True:
         pairs = n_to_4n_pairs()
-        if not pairs or max(pairs.values()) >= 0.8 or elapsed() >= 520 or extra >= 3:
+        if not pairs or max(pairs.values()) >= 0.8 or elapsed() >= 560 or extra >= 3:
             break
         for c in (8, 2):
             if c in times:
