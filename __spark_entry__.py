@@ -606,9 +606,13 @@ WITH q AS (
          embedding
   FROM embeddings
 ), qq AS (
+  -- half-away-from-zero spelled as sign(r)*floor(abs(r)+0.5): floor
+  -- arithmetic is bit-identical across engines, round(double) is not
+  -- pinned at representable .5 boundaries (Spark HALF_UP on shortest
+  -- repr vs DuckDB C round on the raw double)
   SELECT vec_id, scale,
          CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-              ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) END AS qv
+              ELSE list_transform(embedding, x -> CAST(sign(CAST(x AS DOUBLE) / scale) * floor(abs(CAST(x AS DOUBLE) / scale) + 0.5) AS INT)) END AS qv
   FROM q
 )
 SELECT vec_id, round(scale, 6) AS scale6,
@@ -822,7 +826,67 @@ FROM votes
 """
 
 
+def _simhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup in the driver gate, md5-portable twin of
+    minhash_incremental_docs: the stored corpus (doc_id % 10 != 7) gets its
+    pigeonhole chunk table built once, the new shard (doc_id % 10 == 7)
+    joins against it — corpus fingerprints never recomputed. Pigeonhole
+    banding (4 chunks, hamming <= 3) makes candidate recall exact, so the
+    result equals ALL pairs touching the shard within the hamming ball,
+    which the oracle computes directly from replayed fingerprints."""
+    from tag_spark.operators.dedup import simhash_chunk_table_md5, simhash_pairs_incremental_md5
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    shard = d.filter(F.col("doc_id") % 10 == 7)
+    index = simhash_chunk_table_md5(corpus)
+    return simhash_pairs_incremental_md5(shard, index)
+
+
+def _simhash_incremental_oracle() -> str:
+    """DuckDB replay: per-doc md5-derived simhash_hex (same CTEs as the
+    simhash_docs oracle), then all pairs touching the shard with bit-level
+    hamming(hex_a, hex_b) <= 3 — pigeonhole candidate generation is
+    recall-exact inside the ball, so the chunk join needs no replay."""
+    votes = ",\n    ".join(
+        f"sum(((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) // {1 << (b % 4)}) % 2 * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    digit = lambda d: " + ".join(f"(CASE WHEN v{4 * d + k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(4))  # noqa: E731
+    out = " || ".join(f"substr('0123456789abcdef', ({digit(d)}) + 1, 1)" for d in range(16))
+    dig = lambda side, d: f"(strpos('0123456789abcdef', substr({side}.simhash_hex, {d + 1}, 1)) - 1)"  # noqa: E731
+    hamming = " + ".join(f"bit_count(xor({dig('a', d)}, {dig('b', d)}))" for d in range(16))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+    FROM documents)
+), votes AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    {votes}
+  FROM tok GROUP BY doc_id
+), sim AS (
+  SELECT doc_id AS id, {out} AS simhash_hex FROM votes
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST({hamming} AS INT) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE (a.id % 10 = 7 OR b.id % 10 = 7)
+  AND ({hamming}) <= 3
+"""
+
+
 _ANN_INDEX_CACHE: dict = {}
+
+
+def _ann_cache_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
+    """Cache key for process-lifetime ANN indexes, pinned to the DATA's
+    snapshot identity (table_snapshot: sha1 of the file listing), not just
+    the path — a path whose parquet was overwritten between calls must miss
+    the cache instead of serving a stale index. Same invalidation rule the
+    persisted IvfIndex gets from its corpus fingerprint."""
+    from tag_spark.sources.reader import table_snapshot
+
+    return (kind, sf_dir, table_snapshot(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,7 +896,7 @@ def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-k SQL doubles as the oracle."""
     from tag_spark.operators.similarity import LshAnnIndex
 
-    key = ("lsh", sf_dir)
+    key = _ann_cache_key(spark, sf_dir, "lsh")
     if key not in _ANN_INDEX_CACHE:
         _ANN_INDEX_CACHE[key] = LshAnnIndex(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=2, n_tables=16)
     return _ANN_INDEX_CACHE[key].topk(_query_vec(spark, sf_dir), k=10)
@@ -845,7 +909,7 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, assign, probe, re-rank — independently in DuckDB."""
     from tag_spark.operators.similarity import IvfIndex
 
-    key = ("ivf", sf_dir)
+    key = _ann_cache_key(spark, sf_dir, "ivf")
     if key not in _ANN_INDEX_CACHE:
         tag = sf_dir.rstrip("/").replace("/", "_")
         _ANN_INDEX_CACHE[key] = IvfIndex(
@@ -864,7 +928,7 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the probe — the complete approximate algorithm — in SQL."""
     from tag_spark.operators.similarity import IvfIndex
 
-    key = ("ivf_kmeans", sf_dir)
+    key = _ann_cache_key(spark, sf_dir, "ivf_kmeans")
     if key not in _ANN_INDEX_CACHE:
         tag = sf_dir.rstrip("/").replace("/", "_")
         _ANN_INDEX_CACHE[key] = IvfIndex(
@@ -886,7 +950,7 @@ def _ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling, its Lloyd round, and the shard assignment in SQL."""
     from tag_spark.operators.similarity import IvfIndex
 
-    key = ("ivf_incr", sf_dir)
+    key = _ann_cache_key(spark, sf_dir, "ivf_incr")
     emb = _t(spark, sf_dir, "embeddings")
     if key not in _ANN_INDEX_CACHE:
         _ANN_INDEX_CACHE[key] = IvfIndex(emb.filter(F.col("vec_id") % 10 != 0), n_cells=16, kmeans_iters=1)
@@ -1109,6 +1173,29 @@ FROM cum GROUP BY metric
 """
 
 
+def _stage_stream_source(spark: SparkSession, table_path: str, dst_dir: str) -> None:
+    """The file-stream source needs a DIRECTORY to watch; the testdata
+    table is a single parquet file. On the LOCAL filesystem a symlink into
+    a fresh dir is free; any other scheme (hdfs://, s3a://) copies the file
+    through the Hadoop FileSystem API instead — the gate queries must never
+    silently assume local storage (os.symlink on an s3a:// URI would raise
+    a confusing ENOENT at stream start)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    os.makedirs(dst_dir, exist_ok=True)
+    base = os.path.basename(table_path.rstrip("/"))
+    u = urlparse(table_path)
+    if u.scheme in ("", "file"):
+        os.symlink(os.path.abspath(unquote(u.path) if u.scheme else table_path), f"{dst_dir}/{base}")
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(table_path)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{dst_dir}/{base}")
+    jvm.org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, False, conf)
+
+
 def _streaming_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the driver gate: the stateless events suite
     runs as a real readStream -> writeStream(availableNow) micro-batch job
@@ -1116,7 +1203,6 @@ def _streaming_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the materialized sink must equal the batch result — which is what
     the SQL oracle computes. Window checks stay batch-side by design
     (validate_stream.py), so the oracle is the row-level arms only."""
-    import os
     import tempfile
 
     from tag_spark.operators.generic_suites import events_suite
@@ -1124,10 +1210,7 @@ def _streaming_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = _t(spark, sf_dir, "events").schema
     d = tempfile.mkdtemp(prefix="tag_spark_stream_")
-    # the file source needs a DIRECTORY to watch; the testdata table is a
-    # single parquet file — link it into a fresh source dir
-    os.makedirs(f"{d}/src")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/src/events.parquet")
+    _stage_stream_source(spark, f"{sf_dir}/events.parquet", f"{d}/src")
     stream = spark.readStream.schema(schema).parquet(f"{d}/src")
     suite = stateless(events_suite())
     viol = suite.violations(stream, shuffle_for_windows=False)
@@ -1196,7 +1279,6 @@ def _streaming_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow pitfall). The oracle recomputes the identical windowed
     counts in batch SQL: Spark's epoch-aligned 1-day window start equals
     date_trunc('day', ts)."""
-    import os
     import tempfile
     import uuid
 
@@ -1205,8 +1287,7 @@ def _streaming_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = _t(spark, sf_dir, "events").schema
     d = tempfile.mkdtemp(prefix="tag_spark_stream_rates_")
-    os.makedirs(f"{d}/src")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/src/events.parquet")
+    _stage_stream_source(spark, f"{sf_dir}/events.parquet", f"{d}/src")
     stream = spark.readStream.schema(schema).parquet(f"{d}/src")
     suite = stateless(events_suite())
     viol = suite.violations(stream, shuffle_for_windows=False, carry_cols=("ts",))
@@ -1419,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": _minhash_neardup_docs,
         "minhash_incremental_docs": _minhash_incremental_docs,
         "simhash_docs": _simhash_docs,
+        "simhash_incremental_docs": _simhash_incremental_docs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "ivf_kmeans_topk": _ivf_kmeans_topk,
@@ -1512,6 +1594,10 @@ def oracle_sql() -> dict[str, str]:
         # from, not which verified pairs survive)
         "minhash_incremental_docs": _MINHASH_INCREMENTAL_SQL,
         "simhash_docs": _simhash_md5_oracle(),
+        # incremental SimHash: pigeonhole banding is recall-exact inside the
+        # hamming ball, so shard-touching pairs with hamming <= 3 IS the
+        # engine result (same argument as minhash_incremental_docs)
+        "simhash_incremental_docs": _simhash_incremental_oracle(),
         # LSH-ANN at recall-complete parameters == the exact top-k
         "lsh_ann_topk": _EMBEDDING_TOPK_SQL,
         # the IVF oracle replays the full algorithm (md5-ordered centroid

@@ -479,3 +479,87 @@ def simhash_pairs_incremental(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hamming_hex(a: Column, b: Column, n_digits: int = 16) -> Column:
+    """Bit-level hamming distance between two equal-length hex fingerprints,
+    engine-portable (no 64-bit signed arithmetic): per-digit base-16 conv,
+    xor, bit_count, summed — DuckDB replays it digit-for-digit."""
+    terms = [
+        F.bit_count(
+            F.conv(F.substring(a, d + 1, 1), 16, 10)
+            .cast("int")
+            .bitwiseXOR(F.conv(F.substring(b, d + 1, 1), 16, 10).cast("int"))
+        )
+        for d in range(n_digits)
+    ]
+    return sum(terms[1:], terms[0]).cast("int")
+
+
+def simhash_chunk_table_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Oracle-portable twin of simhash_chunk_table: the persisted pigeonhole
+    index over the md5-derived hex fingerprint — (id, simhash_hex,
+    chunk_idx, chunk_val) with the 16 hex digits split into max_hamming+1
+    chunks, so any pair within the hamming ball agrees exactly on >=1
+    chunk. Chunks are hex-digit-aligned (16 % (max_hamming+1) must be 0:
+    max_hamming of 0, 1, 3, 7, 15 supported); the xxhash64 variant stays
+    the fast path."""
+    n_chunks = max_hamming + 1
+    if 16 % n_chunks != 0:
+        raise ValueError(f"max_hamming+1 must divide 16 hex digits, got {n_chunks}")
+    width = 16 // n_chunks
+    sh = simhash_md5(df, id_col, text_col)
+    return sh.select(
+        "id",
+        "simhash_hex",
+        F.posexplode(
+            F.array(*[F.substring("simhash_hex", i * width + 1, width) for i in range(n_chunks)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def simhash_pairs_incremental_md5(
+    new_df: DataFrame,
+    chunk_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash near-dup over the md5-portable fingerprint: hash
+    ONLY the new shard, equi-join its chunks against the persisted
+    ``chunk_table`` (plus the shard's own chunks for within-shard pairs),
+    verify bit-hamming from the stored hex fingerprints — no corpus
+    re-hash, no corpus text read. Pairs normalized to id_a < id_b; by the
+    pigeonhole guarantee the result equals ALL pairs touching the shard
+    with hamming <= max_hamming, which is exactly what an independent SQL
+    engine can recompute (the driver-gate oracle does). Reference analog:
+    re-walk only what you point at (cmd/check/main.go:77-99)."""
+    nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming)
+    all_chunks = chunk_table.unionByName(nb)
+    a, b = nb.alias("a"), all_chunks.alias("b")
+    swap = F.col("a.id") < F.col("b.id")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(swap, F.col("a.simhash_hex")).otherwise(F.col("b.simhash_hex")).alias("hex_a"),
+            F.when(swap, F.col("b.simhash_hex")).otherwise(F.col("a.simhash_hex")).alias("hex_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_hex(F.col("hex_a"), F.col("hex_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -65,19 +65,29 @@ def quantize_embeddings(
     bits: int = 8,
 ) -> DataFrame:
     """Symmetric per-vector linear quantization to signed ``bits`` ints:
-    scale = max|x| / (2^(bits-1) - 1), q_i = round(x_i / scale). Returns
+    scale = max|x| / (2^(bits-1) - 1), q_i = half-away-from-zero round of
+    x_i / scale, spelled EXPLICITLY as sign(r)·floor(|r| + 0.5) — Spark's
+    round(double) (BigDecimal HALF_UP on the shortest decimal repr) and
+    DuckDB's round (C half-away-from-zero on the raw double) agree almost
+    everywhere but are unpinned against each other at representable .5
+    boundaries; floor arithmetic is bit-identical in both engines. Returns
     (id, scale, q array<int>). 4x (int8) smaller vectors for the
     shuffle-heavy stages — candidate reranks can dot int8 and rescale by
     scale_a·scale_b, cutting ANN candidate-join shuffle bytes by ~4x at
     identical top-k ordering within quantization error. All-zero vectors
     quantize to zeros with scale 0 (guarded; ANSI mode would otherwise
-    overflow on round(inf)). Deterministic, engine-portable math: the
+    overflow on floor(inf)). Deterministic, engine-portable math: the
     driver oracle recomputes scale and every q_i in SQL."""
     qmax = float((1 << (bits - 1)) - 1)
     vec = F.col(vec_col)
     scale = (F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(qmax)).alias("scale")
     df2 = df.select(F.col(id_col), vec.alias("__v"), scale)
-    q = F.when(
-        F.col("scale") == 0.0, F.transform(F.col("__v"), lambda x: F.lit(0))
-    ).otherwise(F.transform(F.col("__v"), lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int")))
+
+    def _q(x: Column) -> Column:
+        r = x.cast("double") / F.col("scale")
+        return (F.signum(r) * F.floor(F.abs(r) + F.lit(0.5))).cast("int")
+
+    q = F.when(F.col("scale") == 0.0, F.transform(F.col("__v"), lambda x: F.lit(0))).otherwise(
+        F.transform(F.col("__v"), _q)
+    )
     return df2.select(F.col(id_col), F.col("scale"), q.alias("q"))

@@ -95,31 +95,78 @@ def cosine_self_join(
     )
 
 
+# driver reads at most this many parquet footers itself; above it the
+# footer reads run as ONE distributed job over the file list (at 100 TB /
+# ~10^5-10^6 files a sequential driver loop is minutes of dead time; the
+# real fix at that scale is the table format's manifest row counts — the
+# checkpoint manifest / Iceberg snapshot — which this mirrors)
+_DRIVER_FOOTER_LIMIT = 64
+
+# optimized-plan nodes that cannot change the row count of the underlying
+# scan. Anything else (Filter, Limit/GlobalLimit, Sample, Join, Union,
+# Deduplicate, Aggregate, ...) means footer counts are NOT the df's count —
+# a whitelist, because the blacklist version silently overcounted on
+# Limit/Sample/Join inputs.
+_COUNT_SAFE_NODES = frozenset({"Project", "Relation"})
+
+
+def _plan_is_pure_scan(plan: str) -> bool:
+    for line in plan.splitlines():
+        node = line.strip().lstrip("+-: ").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _COUNT_SAFE_NODES:
+            return False
+    return True
+
+
 def _scan_row_count(df: DataFrame) -> int:
-    """Row count for partition SIZING: when df is a pure parquet scan (no
-    Filter in the optimized plan), read it from the file footers instead of
-    running a full-scan count job — at 100 TB the footers are metadata the
-    table already paid for (same reason Iceberg keeps row counts in its
-    manifests). Falls back to count() for transformed inputs, non-local
+    """Row count for partition SIZING: when df is a pure parquet scan
+    (optimized plan contains ONLY row-count-preserving nodes — Project /
+    Relation), read it from the file footers instead of running a full-scan
+    count job — at 100 TB the footers are metadata the table already paid
+    for (same reason Iceberg keeps row counts in its manifests). Footers
+    are read on the driver up to _DRIVER_FOOTER_LIMIT files, then as one
+    distributed job over the file list (never a sequential driver loop over
+    10^5 files). Falls back to count() for transformed inputs, non-local
     storage, or any surprise."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         files = df.inputFiles()
-        if files and "Filter" not in plan and all(f.endswith(".parquet") for f in files):
+        if files and _plan_is_pure_scan(plan) and all(f.endswith(".parquet") for f in files):
             from urllib.parse import unquote, urlparse
 
-            import pyarrow.parquet as pq
-
-            total = 0
+            paths = []
             for f in files:
                 u = urlparse(f)
                 if u.scheme not in ("file", ""):
                     raise ValueError("non-local path; fall back to a count job")
-                total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
-            return total
+                paths.append(unquote(u.path))
+            if len(paths) <= _DRIVER_FOOTER_LIMIT:
+                import pyarrow.parquet as pq
+
+                return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            return _distributed_footer_count(df.sparkSession, paths)
     except Exception:
         pass
     return df.count()
+
+
+def _distributed_footer_count(spark, paths: list[str]) -> int:
+    """Footer row counts as ONE Spark job: ship the path list, each task
+    reads ~_DRIVER_FOOTER_LIMIT footers, a single sum comes back. Driver
+    work is O(len(paths)) string handling only — no per-file driver I/O."""
+    import pandas as pd  # noqa: F401
+
+    def _counts(it):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            yield pd.DataFrame({"n": [sum(pq.ParquetFile(p).metadata.num_rows for p in pdf["path"])]})
+
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_tasks = max(1, -(-len(paths) // _DRIVER_FOOTER_LIMIT))
+    row = files_df.repartition(n_tasks).mapInPandas(_counts, "n long").agg(F.sum("n").alias("n")).first()
+    return int(row["n"])
 
 
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
@@ -350,15 +397,30 @@ def _sample_centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) ->
     return np.array([[float(x) for x in r[vec_col]] for r in sampled], dtype=np.float64)
 
 
+def _direct_d2(xb, M):
+    """Squared L2 distances in the DIRECT form sum((x_i - c_i)^2) — the ONE
+    distance formula every IVF path shares (assignment, single-query probe,
+    batched probe) and the same form the DuckDB oracles compute. The
+    expanded form |x|^2 - 2x·c + |c|^2 is faster (BLAS matmul) but suffers
+    catastrophic cancellation when a vector sits near a centroid, so a
+    near-tie cell assignment could flip vs the oracle / vs probe_cells and
+    cascade through every Lloyd round. Determinism beats the constant
+    factor here; callers chunk rows to bound the (rows × cells × dim)
+    intermediate."""
+    return ((xb[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+
+
 def _assign_udf(df: DataFrame, centroids, out_type: str = "int", nprobe: int | None = None):
-    """Vectorized nearest-centroid via a BROADCAST numpy matrix + one Arrow
-    batch matmul per 10k rows — the assignment cost per row is a BLAS dot
-    against the shared matrix, independent of how the expression tree would
-    have grown. The round-2 shape inlined every centroid as a literal array
-    expression (O(n_cells) plan size per row — fine at 16 cells, hopeless at
-    the 10^3-10^5 cells a 100 TB corpus needs); precompute once + broadcast,
-    don't inline — same move as the reference's CRC table built once at init
-    (reference ogg.go:20-40).
+    """Vectorized nearest-centroid via a BROADCAST numpy matrix + chunked
+    Arrow batches — the assignment cost per row is a vectorized row-vs-
+    matrix distance against the shared matrix, independent of how the
+    expression tree would have grown. The round-2 shape inlined every
+    centroid as a literal array expression (O(n_cells) plan size per row —
+    fine at 16 cells, hopeless at the 10^3-10^5 cells a 100 TB corpus
+    needs); precompute once + broadcast, don't inline — same move as the
+    reference's CRC table built once at init (reference ogg.go:20-40).
+    Distances use the direct form shared with probe_cells (_direct_d2) so
+    assignment, probe and the SQL oracle can never disagree on a near-tie.
 
     ``nprobe=None`` returns the argmin cell (int); ``nprobe=k`` returns the
     k nearest cells as array<int> ordered by (distance, cell) — ties resolve
@@ -373,18 +435,17 @@ def _assign_udf(df: DataFrame, centroids, out_type: str = "int", nprobe: int | N
 
     def _assign(vecs):
         M = bc.value
-        cn = (M * M).sum(axis=1)
         X = np.array(vecs.tolist(), dtype=np.float64)
-        # chunk rows so the (rows x n_cells) distance block stays ~16 MB
-        # even at 10^5 cells (Arrow hands us up to 10k rows per batch)
-        step = max(1, 2_000_000 // max(1, M.shape[0]))
+        # chunk rows so the (rows x n_cells x dim) direct-form intermediate
+        # stays ~16 MB even at 10^5 cells (Arrow hands us up to 10k rows
+        # per batch)
+        step = max(1, 2_000_000 // max(1, M.shape[0] * M.shape[1]))
         if nprobe is None:
             out = np.empty(len(X), dtype=np.int32)
         else:
             out = np.empty((len(X), min(nprobe, M.shape[0])), dtype=np.int32)
         for s in range(0, len(X), step):
-            xb = X[s : s + step]
-            d2 = (xb * xb).sum(axis=1)[:, None] - 2.0 * (xb @ M.T) + cn[None, :]
+            d2 = _direct_d2(X[s : s + step], M)
             if nprobe is None:
                 out[s : s + step] = np.argmin(d2, axis=1)
             else:
@@ -403,11 +464,27 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding", cell_col:
     return df.withColumn(cell_col, _assign_udf(df, centroids)(F.col(vec_col)))
 
 
+def _round6_half_up(x: float) -> float:
+    """Round to 6 decimals with the semantics Spark's F.round(d, 6) uses:
+    HALF_UP on the shortest decimal representation of the double (Python
+    repr == Java Double.toString shortest form). Keeps the Lloyd means
+    bit-compatible with the pre-rework Spark-side rounding and the DuckDB
+    oracle's round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def kmeans_refine(df: DataFrame, centroids, iters: int = 1, vec_col: str = "embedding"):
     """Lloyd (k-means) refinement of the sampled centroids, fully
     distributed: each iteration is one assignment pass (broadcast argmin)
-    plus one map-side-combined groupBy producing per-cell per-coordinate
-    means — no driver-side data beyond the (n_cells x dim) matrix itself.
+    fused with ONE Arrow partial-sum pass — every partition emits at most
+    n_cells rows of (cell, count, float64 vector sum), a tiny shuffle on
+    cell merges the partials, and only the (n_cells × dim) mean matrix
+    reaches the driver. The earlier shape built one
+    ``avg(element_at(vec, i))`` aggregate expression PER COORDINATE — fine
+    at dim 64, thousands of expressions per round at production embedding
+    dims (768-3072); the partial-sum pass is dim-independent in plan size.
     Means are ROUNDED TO 6 DECIMALS each iteration so an independent SQL
     engine replays bit-identical centroids (FP summation-order drift is cut
     at every round instead of compounding); a cell that loses all members
@@ -416,15 +493,37 @@ def kmeans_refine(df: DataFrame, centroids, iters: int = 1, vec_col: str = "embe
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
-    dim = cent.shape[1]
-    vec = F.col(vec_col)
+    n_cells, dim = cent.shape
     for _ in range(max(0, iters)):
-        a = assign_cells(df, cent, vec_col)
-        aggs = [F.round(F.avg(F.element_at(vec, i + 1).cast("double")), 6).alias(f"c{i}") for i in range(dim)]
-        rows = a.groupBy("cell").agg(*aggs).collect()
+        a = assign_cells(df, cent, vec_col).select(F.col("cell"), F.col(vec_col).alias("__v"))
+
+        def _partial(it):
+            import numpy as np
+            import pandas as pd
+
+            cnt = np.zeros(n_cells, dtype=np.int64)
+            s = np.zeros((n_cells, dim), dtype=np.float64)
+            for pdf in it:
+                cells = pdf["cell"].to_numpy()
+                X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                np.add.at(s, cells, X)
+                cnt += np.bincount(cells, minlength=n_cells)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame({"cell": nz.astype("int32"), "n": cnt[nz], "s": list(s[nz])})
+
+        def _merge(pdf):
+            import numpy as np
+            import pandas as pd
+
+            S = np.array(pdf["s"].tolist(), dtype=np.float64).sum(axis=0)
+            return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "n": [int(pdf["n"].sum())], "s": [S]})
+
+        partials = a.mapInPandas(_partial, "cell int, n long, s array<double>")
+        rows = partials.groupBy("cell").applyInPandas(_merge, "cell int, n long, s array<double>").collect()
         nxt = cent.copy()
         for r in rows:
-            nxt[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+            n = r["n"]
+            nxt[r["cell"]] = [_round6_half_up(v / n) for v in r["s"]]
         cent = nxt
     return cent
 
@@ -432,15 +531,22 @@ def kmeans_refine(df: DataFrame, centroids, iters: int = 1, vec_col: str = "embe
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem API so index
     metadata lands on whatever FS the parquet itself uses (local, HDFS,
-    S3A) — local os.path/open would silently break on non-local paths."""
+    S3A) — local os.path/open would silently break on non-local paths.
+    Written to a temp sibling then renamed: a crash mid-write must never
+    leave truncated JSON at the final path (readers additionally guard the
+    parse and treat unparseable meta as stale)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {tmp} -> {p} failed")
 
 
 def _fs_read_text(spark, path: str) -> str | None:
@@ -538,8 +644,14 @@ class IvfIndex:
             # meta I/O goes through the Hadoop FS API (like table_snapshot),
             # so the index works wherever the parquet lives — not local-only
             meta_path = f"{path}/_ivf_centroids.json"
-            meta_text = _fs_read_text(spark, meta_path) if _fs_exists(spark, f"{path}/_SUCCESS") else None
-            meta = json.loads(meta_text) if meta_text else None
+            try:
+                meta_text = _fs_read_text(spark, meta_path) if _fs_exists(spark, f"{path}/_SUCCESS") else None
+                meta = json.loads(meta_text) if meta_text else None
+            except Exception:
+                # unreadable (checksum mismatch after a torn write) or
+                # truncated/corrupt meta = stale index -> rebuild, never a
+                # permanently wedged path raising on every open
+                meta = None
             if meta is not None and meta.get("fingerprint") == fp and "centroids" in meta:
                 self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
             else:
@@ -613,7 +725,10 @@ class IvfIndex:
         import numpy as np
 
         q = np.asarray(query_vec, dtype=np.float64)
-        d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        # SAME direct-form distance as _assign_udf (shared helper): the
+        # single-query probe, the batched probe and the assignment can
+        # never pick different cells for the same vector
+        d2 = _direct_d2(q[None, :], self.centroids)[0]
         order = np.lexsort((np.arange(len(d2)), d2))  # (dist, cell) asc — lowest cell wins ties
         return [int(c) for c in order[:nprobe]]
 

@@ -184,3 +184,54 @@ def test_simhash_incremental_equals_full(docs, spark):
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect()}
     assert got == want
     assert any(a < 200 for a, b, _ in got)  # found pairs against the stored corpus
+
+
+def test_hamming_hex_matches_python(spark):
+    from tag_spark.operators.dedup import hamming_hex
+
+    cases = [
+        ("0000000000000000", "0000000000000000"),
+        ("ffffffffffffffff", "0000000000000000"),
+        ("deadbeefdeadbeef", "deadbeefdeadbeee"),
+        ("0123456789abcdef", "fedcba9876543210"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = {(r["a"], r["b"]): r["h"] for r in df.select("a", "b", hamming_hex(F.col("a"), F.col("b")).alias("h")).collect()}
+    for a, b in cases:
+        assert got[(a, b)] == bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def test_simhash_incremental_md5_equals_full(docs, spark):
+    """The oracle-portable incremental path: pigeonhole over the md5 hex
+    fingerprint; result == all pairs touching the shard within the hamming
+    ball (recall-exact by the pigeonhole argument, verified here against a
+    brute-force replay of the stored fingerprints)."""
+    from tag_spark.operators.dedup import hamming_hex, simhash_chunk_table_md5, simhash_md5, simhash_pairs_incremental_md5
+
+    shard = spark.createDataFrame(
+        [(200, BASE), (201, BASE.replace("morning", "evening")), (202, "novel text entirely")],
+        "doc_id long, text string",
+    )
+    index = simhash_chunk_table_md5(docs, max_hamming=3)
+    inc = simhash_pairs_incremental_md5(shard, index, max_hamming=3)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in inc.collect()}
+
+    # brute-force ground truth from the fingerprints themselves
+    sims = {r["id"]: r["simhash_hex"] for r in simhash_md5(docs.unionByName(shard)).collect()}
+    shard_ids = {200, 201, 202}
+    want = set()
+    for a in sorted(sims):
+        for b in sorted(sims):
+            if a < b and (a in shard_ids or b in shard_ids):
+                h = bin(int(sims[a], 16) ^ int(sims[b], 16)).count("1")
+                if h <= 3:
+                    want.add((a, b, h))
+    assert got == want
+    assert any(a < 200 for a, b, _ in got)  # found pairs against the stored corpus
+
+
+def test_simhash_chunk_table_md5_rejects_unaligned_ball(docs):
+    from tag_spark.operators.dedup import simhash_chunk_table_md5
+
+    with pytest.raises(ValueError):
+        simhash_chunk_table_md5(docs, max_hamming=4)  # 5 chunks don't divide 16 hex digits

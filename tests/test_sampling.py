@@ -79,5 +79,7 @@ def test_quantize_embeddings_zero_vector_guard(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0, 0.0]), (2, [0.0, 2.0, -4.0])], "vec_id: long, embedding: array<float>")
     got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
     assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0]
-    assert got[2]["q"] == [0, 64, -127] or got[2]["q"] == [0, 63, -127]  # 2/ (4/127) = 63.5 rounds away from zero
+    # 2 / (4/127) = 63.5 exactly: semantics PINNED to half-away-from-zero
+    # (sign(r)*floor(|r|+0.5) in both engines) -> 64, never 63
+    assert got[2]["q"] == [0, 64, -127]
     assert got[2]["q"][2] == -127

@@ -242,3 +242,99 @@ def test_scan_row_count_uses_footers_for_pure_scans(spark, emb):
     assert _scan_row_count(raw) == raw.count()
     filtered = raw.filter("vec_id % 2 = 0")
     assert _scan_row_count(filtered) == filtered.count()  # must NOT overcount from footers
+
+
+def test_scan_row_count_limit_sample_fall_back(spark, emb):
+    """Row-count-changing nodes WITHOUT a Filter (Limit, Sample) must fall
+    back to count() — the whitelist catches what a Filter blacklist missed."""
+    from tag_spark.operators.similarity import _scan_row_count
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert _scan_row_count(raw.limit(5)) == 5
+    sampled = raw.sample(0.5, seed=1)
+    assert _scan_row_count(sampled) == sampled.count()
+
+
+def test_scan_row_count_distributed_footer_job(spark, tmp_path, monkeypatch):
+    """Above _DRIVER_FOOTER_LIMIT files the footer reads run as ONE Spark
+    job over the path list — never a sequential driver loop at 10^5 files."""
+    import tag_spark.operators.similarity as sim
+
+    p = str(tmp_path / "many_files")
+    spark.range(100).repartition(10).write.parquet(p)
+    df = spark.read.parquet(p)
+    monkeypatch.setattr(sim, "_DRIVER_FOOTER_LIMIT", 2)
+    calls = {"n": 0}
+    orig = sim._distributed_footer_count
+
+    def spy(s, paths):
+        calls["n"] += 1
+        return orig(s, paths)
+
+    monkeypatch.setattr(sim, "_distributed_footer_count", spy)
+    assert sim._scan_row_count(df) == 100
+    assert calls["n"] == 1
+
+
+def test_assign_and_probe_share_one_distance_formula(spark, emb):
+    """assign_cells (Arrow UDF) and probe_cells (driver numpy) must agree on
+    the nearest cell for EVERY vector — both now compute the direct-form
+    sum((x-c)^2) through the shared _direct_d2 helper, so a near-tie can
+    never flip between the paths (the expanded |x|^2-2xc+|c|^2 form loses
+    bits to cancellation when a vector sits near a centroid)."""
+    import numpy as np
+
+    from tag_spark.operators.similarity import IvfIndex, _sample_centroids, assign_cells
+
+    idx = IvfIndex(emb, n_cells=8)
+    rows = assign_cells(emb, idx.centroids).select("vec_id", "embedding", "cell").collect()
+    for r in rows[:100]:
+        assert idx.probe_cells([float(x) for x in r["embedding"]], 1)[0] == r["cell"]
+    # exact-tie determinism: a vector equidistant from two centroids goes to
+    # the LOWEST cell on both paths
+    C = np.zeros((2, 4))
+    C[0, 0], C[1, 0] = -1.0, 1.0
+    tie_df = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 0.0])], "vec_id: long, embedding: array<float>")
+    assert assign_cells(tie_df, C).first()["cell"] == 0
+
+
+def test_kmeans_refine_high_dim_partial_sum(spark):
+    """Lloyd rounds at production embedding dims: dim 512 runs through ONE
+    Arrow partial-sum pass (plan size independent of dim — the per-
+    coordinate avg(element_at) shape would be 512 aggregate expressions),
+    and the means match a driver-side numpy replay with the same HALF_UP
+    6dp rounding."""
+    import numpy as np
+
+    from tag_spark.operators.similarity import _round6_half_up, kmeans_refine
+
+    dim, n = 512, 60
+    rng = [[float(((i * 131 + j * 17) % 97) / 97.0 - 0.5) for j in range(dim)] for i in range(n)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)], "vec_id: long, embedding: array<float>")
+    init = np.array([rng[0], rng[1], rng[2]], dtype=np.float64)
+    got = kmeans_refine(df, init, iters=1)
+
+    X = np.array([np.array(v, dtype=np.float32).astype(np.float64) for v in rng])
+    d2 = ((X[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    cells = np.argmin(d2, axis=1)
+    expect = init.copy()
+    for c in range(3):
+        members = X[cells == c]
+        if len(members):
+            expect[c] = [_round6_half_up(v) for v in members.mean(axis=0)]
+    assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_ivf_corrupt_meta_rebuilds(emb, qvec, tmp_path, spark):
+    """Truncated _ivf_centroids.json (crash mid-write) = stale index ->
+    rebuild; never a permanently wedged path raising JSONDecodeError."""
+    from tag_spark.operators.similarity import IvfIndex
+
+    p = str(tmp_path / "ivf_corrupt")
+    idx = IvfIndex(emb, n_cells=8, path=p)
+    want = [r["vec_id"] for r in idx.topk(qvec, k=5, nprobe=8).collect()]
+    with open(f"{p}/_ivf_centroids.json", "w") as f:
+        f.write('{"fingerprint": "abc, TRUNC')  # torn write
+    idx2 = IvfIndex(emb, n_cells=8, path=p)
+    got = [r["vec_id"] for r in idx2.topk(qvec, k=5, nprobe=8).collect()]
+    assert got == want
