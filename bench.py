@@ -315,7 +315,11 @@ def main() -> int:
     # side's stability is cross-checked against the controlled grid in
     # finalize). Recorded explicitly.
     extra = 0
-    while True:
+    while n_turns >= 2_000_000:
+        # below ~2M turns the per-job fixed overhead (~0.5-1s) dominates an
+        # 8c run entirely and NO amount of retrying can show core scaling —
+        # sub-scale runs record their levels but skip the retry spend (the
+        # driver's gate artifact is the sf0.1 run at 5.8M turns)
         pairs = n_to_4n_pairs()
         if not pairs or max(pairs.values()) >= 0.8 or elapsed() >= 560 or extra >= 3:
             break
@@ -338,15 +342,21 @@ def main() -> int:
         scaling["gate_retry_rounds"] = extra
         for c, t in times.items():
             scaling[f"turns_per_sec_{c}c"] = round(SCALE_REPS * n_turns / t, 1)
-        if pairs:
-            # the north-rule gate — >=0.8 between SOME N and 4N — as an
-            # explicit boolean (a miss must be loud, not a decimal to
-            # squint at). Same best-N->4N-pair definition
-            # BENCH_SCALING.json's gate has used since round 1; 8->32
-            # participates but never wins on this box (single memory bus
-            # saturates above ~16 cores — see the note).
-            scaling["gate_best_pair"] = max(pairs, key=lambda k: pairs[k])
-            scaling["gate_pass"] = max(pairs.values()) >= 0.8
+        # the north-rule gate — >=0.8 between SOME N and 4N — as an
+        # explicit boolean (a miss must be loud, not a decimal to squint
+        # at). Same best-N->4N-pair definition BENCH_SCALING.json's gate
+        # has used since round 1; 8->32 participates but never wins on
+        # this box (single memory bus saturates above ~16 cores — see the
+        # note). Pairs beyond 1.05 are EXCLUDED from the decision: a
+        # superlinear "pass" only means the small side's window was
+        # poisoned, and counting it would let a storm fake the gate.
+        sane = {k: v for k, v in pairs.items() if v <= 1.05}
+        if sane:
+            scaling["gate_best_pair"] = max(sane, key=lambda k: sane[k])
+            scaling["gate_pass"] = max(sane.values()) >= 0.8
+        elif pairs:
+            scaling["gate_best_pair"] = None
+            scaling["gate_pass"] = False
         # a storm leaves a physically impossible signature: more cores
         # slower than fewer on identical code+data (either inversion), or
         # an N->4N efficiency beyond ~1 (a 1.8 "pass" just means the N
@@ -356,18 +366,28 @@ def main() -> int:
         # SLOW 2c rate (< 70% of the controlled grid's — which would fake
         # a pass, since eff_2_to_8 = t2/4·t8) also arms the flag; the
         # post-tail rerun then re-samples 2c too. Flag loudly.
-        slow_2c = False
-        if 2 in times and _grid_bucketed is not None and n_turns >= 2_000_000:
-            # turns/s is size-normalized so the grid rate is comparable —
+        implausible = False
+        if _grid_bucketed is not None and n_turns >= 2_000_000:
+            # turns/s is size-normalized so the grid rates are comparable —
             # but only at workloads big enough that per-job overhead is
-            # amortized (small sf reads structurally slow, not stormed)
-            rate_2c = SCALE_REPS * n_turns / times[2]
-            slow_2c = rate_2c < 0.7 * _grid_bucketed["levels"]["local2"]["turns_per_sec"]
+            # amortized (small sf reads structurally slow, not stormed).
+            # 2c inflation would FAKE a pass (eff_2_to_8 = t2/4·t8); 8c
+            # inflation fakes both a 2->8 fail and an 8->32 "superlinear
+            # pass" (observed: 8c at 406k between a calm 2c at 319k and a
+            # calm 32c at 1.79M -> eff_8_to_32 read 1.098). A real code
+            # regression can't false-trigger this forever: the grid is
+            # re-measured from current code each round.
+            for c, lvl, frac in ((2, "local2", 0.7), (8, "local8", 0.6)):
+                if c in times:
+                    rate = SCALE_REPS * n_turns / times[c]
+                    implausible |= rate < frac * _grid_bucketed["levels"][lvl]["turns_per_sec"]
         scaling["storm_detected"] = bool(
             (32 in times and 8 in times and times[32] > times[8])
             or (8 in times and 2 in times and times[8] > times[2])
-            or any(v > 1.25 for v in pairs.values())
-            or slow_2c
+            # true efficiency can cross 1.0 only marginally (cache
+            # superlinearity); beyond 1.05 the small side was poisoned
+            or any(v > 1.05 for v in pairs.values())
+            or implausible
         )
 
     finalize_scaling()
@@ -404,6 +424,8 @@ def main() -> int:
             return
         if scaling.get("gate_pass", False) and not scaling.get("storm_detected"):
             return
+        if n_turns < 2_000_000:
+            return  # sub-scale: overhead-dominated, a rerun cannot change the verdict
         if elapsed() >= 620:
             return
         scaling["initial_reading"] = {
@@ -538,27 +560,44 @@ def main() -> int:
         big_lsh.unpersist()
         bigv.unpersist()
 
-    # headline self-repair: the unbucketed suite is the FIRST thing timed
-    # after input materialization, so a storm there poisons the headline
-    # turns_per_sec even at best-of-3 (observed 23.3s vs the same round's
-    # calm 7-8s, while every later query read calm). The bucketed run is
-    # the same check suite minus the window exchange and the verdict pass
-    # (calm ratio ~2.3x); a ratio beyond 3.5x is a storm signature — give
-    # the headline the same late-window retry the gate gets, min-merged
-    # (steal only ever inflates, so cross-window min is valid).
-    if timings["transcript_suite"] > 3.5 * timings["transcript_suite_bucketed"] and elapsed() < 640:
+    # headline self-repair: the transcript benches are the FIRST thing
+    # timed after input materialization, so a storm there poisons the
+    # headline turns_per_sec even at best-of-3 (observed 23.3s vs the same
+    # round's calm 7-8s, while every later query read calm). Two triggers:
+    # (a) unbucketed/bucketed ratio beyond 3.5x (calm ratio ~2.3x — the
+    # bucketed run is the same suite minus the window exchange and the
+    # verdict pass), and (b) bucketed rate below half the controlled
+    # grid's local32 rate — the ratio test alone is blind when BOTH
+    # readings stormed together (observed 39.7/13.6 = 2.9 with both 3-5x
+    # inflated). Late-window retry, min-merged (steal only ever inflates,
+    # so cross-window min is valid).
+    ratio_storm = timings["transcript_suite"] > 3.5 * timings["transcript_suite_bucketed"]
+    abs_storm = False
+    if _grid_bucketed is not None and n_turns >= 2_000_000:
+        abs_storm = (n_turns / timings["transcript_suite_bucketed"]) < 0.5 * _grid_bucketed["levels"]["local32"][
+            "turns_per_sec"
+        ]
+    if (ratio_storm or abs_storm) and elapsed() < 640:
         late_transcripts = spark.read.parquet(tpath)
         late_suite = default_transcript_suite(dim_role(spark), dim_tool(spark))
+        try:
+            late_bucketed = spark.table(table)
+        except Exception:
+            late_bucketed = spark.read.parquet(tloc)
 
         def rerun_headline():
             res = late_suite.run(late_transcripts)
             force(res.violations)
             force(res.verdicts)
 
-        rerun_headline()  # warm: this session never compiled these plans
-        t0 = time.monotonic()
-        rerun_headline()
-        timings["transcript_suite"] = round(min(timings["transcript_suite"], time.monotonic() - t0), 3)
+        def rerun_bucketed():
+            force(late_suite.violations(late_bucketed, shuffle_for_windows=False))
+
+        for name, fn in (("transcript_suite_bucketed", rerun_bucketed), ("transcript_suite", rerun_headline)):
+            fn()  # warm: this session never compiled these plans
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(min(timings[name], time.monotonic() - t0), 3)
 
     # the ANN tail put minutes between now and the scaling block's window —
     # if the gate is still failing (and the tail didn't already force an
