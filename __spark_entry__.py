@@ -689,6 +689,20 @@ def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3, max_shingle_freq=1000)
 
 
+def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: exact-Jaccard pairs resolved into duplicate CLUSTERS
+    via distributed connected components (min-label propagation + pointer
+    jumping — O(log diameter) rounds of lean (long,long) joins). Every doc
+    gets (cluster_id = min id of its component, cluster_size,
+    is_canonical); dropping near-dups is then a filter on is_canonical.
+    The oracle replays the same components with a recursive CTE."""
+    from tag_spark.operators.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.3, max_shingle_freq=1000)
+    return neardup_clusters(d, pairs)
+
+
 _DOC_JACCARD_SQL = r"""
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
@@ -710,6 +724,30 @@ inter AS (
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
 """
+
+# connected components over the exact-Jaccard pair graph, replayed with a
+# recursive CTE: reach(id, r) enumerates every component member r that can
+# reach id; min(r) per id IS the min-label cluster id the engine's
+# pointer-jumping propagation converges to (both are pure functions of the
+# same pair set)
+_DOC_CLUSTERS_SQL = (
+    _DOC_JACCARD_SQL.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1).replace(
+        "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3",
+        """, pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.b AS id, rc.r FROM reach rc JOIN edges e ON e.a = rc.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.id AS doc_id, l.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
+       l.id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)""",
+        1,
+    )
+)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1495,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample_stats": _doc_hash_sample_stats,
         "embedding_quantized_stats": _embedding_quantized_stats,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
+        "doc_neardup_clusters": _doc_neardup_clusters,
         "embedding_topk": _embedding_topk,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
         "minhash_neardup_docs": _minhash_neardup_docs,
@@ -1583,6 +1622,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_sample_stats": _DOC_HASH_SAMPLE_SQL,
         "embedding_quantized_stats": _EMBEDDING_QUANTIZED_SQL,
         "doc_jaccard_pairs": _DOC_JACCARD_SQL,
+        # connected components replayed as a recursive CTE — min reachable
+        # id per doc == the engine's min-label fixpoint
+        "doc_neardup_clusters": _DOC_CLUSTERS_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
         # minhash LSH with verify=True equals the exact inverted-index result

@@ -563,3 +563,87 @@ def simhash_pairs_incremental_md5(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_clusters(
+    ids_df: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS — the dedup endgame:
+    connected components over the pair graph, labeling every document with
+    the minimum id of its component. Returns (id, cluster_id, cluster_size,
+    is_canonical) for EVERY id in ids_df (singletons form their own
+    cluster); "keep the canonical, drop the rest" is then a filter on
+    is_canonical.
+
+    Distributed shape: iterated min-label propagation fused with POINTER
+    JUMPING (label <- label(label), a self-join on the label table) — the
+    jump halves label-chain depth each round, so convergence is O(log
+    diameter) rounds rather than O(diameter) (a pure neighbor-min pass
+    walks one hop per round and dies on long chains; cf. the
+    large-star/small-star contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). Each round is two equi-joins of
+    lean (long, long) tables; nothing but a one-row convergence probe
+    reaches the driver. At 100 TB the label table is (id, long) — a
+    fraction of corpus width — and dup components are stars/cliques that
+    converge in 2-3 rounds.
+
+    Determinism: min() labels are order-insensitive; the result is a pure
+    function of the pair set. An independent SQL engine replays it with a
+    recursive CTE (the driver-gate oracle does exactly that)."""
+    nodes = ids_df.select(F.col(id_col).alias("id")).distinct()
+    e = pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = nodes.select("id", F.col("id").alias("label")).persist()
+    labels.count()
+    try:
+        for _ in range(max_rounds):
+            # 1) neighbor-min: each node takes the min label in its closed
+            #    neighborhood (map-side combined groupBy on a lean table)
+            nb = (
+                edges.join(labels.select(F.col("id").alias("b"), F.col("label").alias("nb_label")), "b")
+                .groupBy("a")
+                .agg(F.min("nb_label").alias("nb_min"))
+                .select(F.col("a").alias("id"), "nb_min")
+            )
+            stepped = labels.join(nb, "id", "left").select(
+                "id", F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias("label")
+            )
+            # 2) pointer jump: label <- label(label). Labels are node ids,
+            #    so the hop is a left self-join on the label table
+            parent = stepped.select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
+            jumped = (
+                stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+                .select(stepped["id"], F.coalesce(parent["p_label"], stepped["label"]).alias("label"))
+                .persist()
+            )
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            old = labels
+            labels = jumped
+            old.unpersist()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(f"neardup_clusters did not converge in {max_rounds} rounds")
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return (
+            labels.join(sizes, "label")
+            .select(
+                F.col("id").alias(id_col),
+                F.col("label").alias("cluster_id"),
+                F.col("cluster_size").cast("long").alias("cluster_size"),
+                (F.col("id") == F.col("label")).alias("is_canonical"),
+            )
+        )
+    finally:
+        edges.unpersist()

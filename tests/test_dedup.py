@@ -235,3 +235,36 @@ def test_simhash_chunk_table_md5_rejects_unaligned_ball(docs):
 
     with pytest.raises(ValueError):
         simhash_chunk_table_md5(docs, max_hamming=4)  # 5 chunks don't divide 16 hex digits
+
+
+def test_neardup_clusters_topologies(spark):
+    """Connected components over crafted graphs: a 6-chain (worst case for
+    pure neighbor-min — needs pointer jumping), a clique, a pair, and
+    singletons; every node labeled with its component min."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-3-4-5, clique {6,7,8}, pair {9,10}; 11-13 singletons
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8), (9, 10)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in neardup_clusters(ids, pairs).collect()}
+    assert len(got) == 14
+    for i in range(6):
+        assert got[i] == (0, 6, i == 0)
+    for i in (6, 7, 8):
+        assert got[i] == (6, 3, i == 6)
+    for i in (9, 10):
+        assert got[i] == (9, 2, i == 9)
+    for i in (11, 12, 13):
+        assert got[i] == (i, 1, True)
+
+
+def test_neardup_clusters_empty_pairs(spark):
+    from tag_spark.operators.dedup import neardup_clusters
+
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 2}
