@@ -703,6 +703,35 @@ def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(d, pairs)
 
 
+def _doc_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster merge in the driver gate: the stored corpus
+    (doc_id % 10 != 7) carries a standing cluster table built from its own
+    pairs; the new shard (doc_id % 10 == 7) contributes only
+    incrementally-generated pairs (minhash band table vs persisted corpus
+    signatures — recall-complete 32x2 banding, exact-Jaccard verified) and
+    is merged through the stored table's star edges. Because the star
+    graph encodes the old components exactly and the shard pairs equal the
+    exact pairs touching the shard, the merged result EQUALS a full
+    recompute over all documents — which is precisely what the oracle
+    computes (same recursive CTE as doc_neardup_clusters). End-to-end
+    incremental correctness, engine vs independent full replay."""
+    from tag_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs_incremental,
+        neardup_clusters,
+        neardup_clusters_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    shard = d.filter(F.col("doc_id") % 10 == 7)
+    stored = neardup_clusters(corpus, ngram_jaccard_pairs(corpus, k=3, threshold=0.3, max_shingle_freq=1000))
+    index = minhash_band_table(corpus, bands=32)
+    shard_pairs = minhash_lsh_pairs_incremental(shard, index, corpus_df=corpus, bands=32, threshold=0.3)
+    return neardup_clusters_incremental(shard, shard_pairs, stored)
+
+
 _DOC_JACCARD_SQL = r"""
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
@@ -1534,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantized_stats": _embedding_quantized_stats,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_neardup_clusters": _doc_neardup_clusters,
+        "doc_clusters_incremental": _doc_clusters_incremental,
         "embedding_topk": _embedding_topk,
         "embedding_neardup_pairs": _embedding_neardup_pairs,
         "minhash_neardup_docs": _minhash_neardup_docs,
@@ -1625,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
         # connected components replayed as a recursive CTE — min reachable
         # id per doc == the engine's min-label fixpoint
         "doc_neardup_clusters": _DOC_CLUSTERS_SQL,
+        # incremental merge == full recompute (stored stars encode old
+        # components exactly; shard pairs are recall-complete) -> same oracle
+        "doc_clusters_incremental": _DOC_CLUSTERS_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
         # minhash LSH with verify=True equals the exact inverted-index result

@@ -598,8 +598,16 @@ def neardup_clusters(
     nodes = ids_df.select(F.col(id_col).alias("id")).distinct()
     e = pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    labels = nodes.select("id", F.col("id").alias("label")).persist()
-    labels.count()
+    # localCheckpoint, NOT persist: persist caches the DATA but the
+    # ANALYZED PLAN still chains every previous round's self-joins, and
+    # Catalyst re-analyzes the whole tree per action — measured 119s for a
+    # round over an 11-row label table by round 4 (driver-bound, executors
+    # idle). Checkpointing truncates the lineage so every round's plan is
+    # constant-size. On a fault-tolerant cluster run, prefer
+    # sparkContext.setCheckpointDir + .checkpoint() (reliable storage);
+    # localCheckpoint keeps the label RDD on executors, which is the right
+    # trade for a bounded O(log n)-round loop.
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     try:
         for _ in range(max_rounds):
             # 1) neighbor-min: each node takes the min label in its closed
@@ -619,7 +627,7 @@ def neardup_clusters(
             jumped = (
                 stepped.join(parent, stepped["label"] == parent["p_id"], "left")
                 .select(stepped["id"], F.coalesce(parent["p_label"], stepped["label"]).alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 jumped.alias("n")
@@ -628,9 +636,7 @@ def neardup_clusters(
                 .limit(1)
                 .count()
             )
-            old = labels
             labels = jumped
-            old.unpersist()
             if changed == 0:
                 break
         else:
@@ -647,3 +653,32 @@ def neardup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def neardup_clusters_incremental(
+    new_ids_df: DataFrame,
+    new_pairs_df: DataFrame,
+    stored_labels_df: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Merge a NEW shard into a standing cluster table without touching
+    corpus text: the stored (id, cluster_id) table is itself a STAR graph
+    that exactly encodes the old components, so connected components over
+    (stored stars ∪ shard pairs ∪ shard singletons) equal a full recompute
+    over (old pairs ∪ shard pairs) — at the cost of the shard only. Shard
+    pairs come from an incremental pair generator (e.g.
+    minhash_lsh_pairs_incremental: corpus signatures persisted, shard
+    hashed fresh); stars compress arbitrary old components to depth 1, so
+    the propagation converges in 2-3 rounds regardless of how many merges
+    history accumulated. The daily-pipeline shape, completing the
+    incremental family (MinHash / SimHash / IVF append_shard); reference
+    analog: re-walk only what you point at (cmd/check/main.go:77-99)."""
+    star_edges = stored_labels_df.filter(F.col(id_col) != F.col("cluster_id")).select(
+        F.col(id_col).alias(id_a), F.col("cluster_id").alias(id_b)
+    )
+    all_ids = stored_labels_df.select(id_col).unionByName(new_ids_df.select(id_col)).distinct()
+    pairs = new_pairs_df.select(id_a, id_b).unionByName(star_edges)
+    return neardup_clusters(all_ids, pairs, id_col, id_a, id_b, max_rounds)

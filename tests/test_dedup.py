@@ -268,3 +268,31 @@ def test_neardup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(ids, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_neardup_clusters_incremental_equals_full(spark):
+    """Star-compressed incremental merge == full recompute: stored corpus
+    clusters + shard-touching pairs give the same components as clustering
+    everything from scratch."""
+    from tag_spark.operators.dedup import neardup_clusters, neardup_clusters_incremental
+
+    corpus_ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    corpus_pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    stored = neardup_clusters(corpus_ids, corpus_pairs)
+    shard_ids = spark.createDataFrame([(100,), (101,), (102,)], "doc_id long")
+    # shard pairs touch the corpus (101-2 merges into {0,1,2}; 100-101 joins
+    # the shard; 102 is a singleton) and bridge two old clusters (5-100-...)
+    shard_pairs = spark.createDataFrame([(2, 101), (100, 101), (5, 100)], "id_a long, id_b long")
+    inc = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in neardup_clusters_incremental(shard_ids, shard_pairs, stored).collect()
+    }
+    full = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in neardup_clusters(
+            corpus_ids.unionByName(shard_ids), corpus_pairs.unionByName(shard_pairs)
+        ).collect()
+    }
+    assert inc == full
+    assert inc[101] == (0, 7, False)  # {0,1,2,101,100,4,5} merged through the bridge
+    assert inc[102] == (102, 1, True)
