@@ -296,3 +296,23 @@ def test_neardup_clusters_incremental_equals_full(spark):
     assert inc == full
     assert inc[101] == (0, 7, False)  # {0,1,2,101,100,4,5} merged through the bridge
     assert inc[102] == (102, 1, True)
+
+
+def test_neardup_clusters_plan_size_is_round_independent(spark):
+    """Regression pin for the iterative-join pathology: persist caches data
+    but the ANALYZED plan still chains every round's self-joins, and
+    Catalyst re-analysis grew to ~2 minutes per round on an 11-row label
+    table. localCheckpoint truncates lineage, so the returned plan must be
+    a bounded join over a checkpointed RDD scan — NOT a tower of per-round
+    joins — no matter how many rounds ran."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    n = 24  # a 24-node path forces several propagation rounds
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    res = neardup_clusters(ids, pairs)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+    got = {r["doc_id"]: r["cluster_id"] for r in res.collect()}
+    assert got == {i: 0 for i in range(n)}
