@@ -714,7 +714,17 @@ def _doc_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pairs touching the shard, the merged result EQUALS a full
     recompute over all documents — which is precisely what the oracle
     computes (same recursive CTE as doc_neardup_clusters). End-to-end
-    incremental correctness, engine vs independent full replay."""
+    incremental correctness, engine vs independent full replay.
+
+    DATA-DEPENDENCE, made loud: the 'merged == full recompute' equality
+    relies on the probabilistic MinHash banding (64 hashes / 32 bands)
+    being recall-COMPLETE on this corpus — a borderline pair at j≈0.3
+    would be missed with p ≈ (1-0.3²)^32 ≈ 5%, which holds empirically for
+    the current seeded testdata (every true pair has j ≥ 0.9) but is not
+    guaranteed by construction. Rather than let a regenerated corpus
+    surface as an opaque hash mismatch, this gate query VERIFIES the
+    premise inline: the LSH shard pairs must equal the exact shard-touching
+    Jaccard pairs, else it raises with the actionable message."""
     from tag_spark.operators.dedup import (
         minhash_band_table,
         minhash_lsh_pairs_incremental,
@@ -729,6 +739,26 @@ def _doc_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = neardup_clusters(corpus, ngram_jaccard_pairs(corpus, k=3, threshold=0.3, max_shingle_freq=1000))
     index = minhash_band_table(corpus, bands=32)
     shard_pairs = minhash_lsh_pairs_incremental(shard, index, corpus_df=corpus, bands=32, threshold=0.3)
+    touching = F.col("id_a") % 10 == 7, F.col("id_b") % 10 == 7
+    exact_shard = (
+        ngram_jaccard_pairs(d, k=3, threshold=0.3, max_shingle_freq=1000)
+        .filter(touching[0] | touching[1])
+        .select("id_a", "id_b")
+    )
+    n_miss = (
+        exact_shard.withColumn("__x", F.lit(1))
+        .join(shard_pairs.select("id_a", "id_b").withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .filter(F.col("__x").isNull() | F.col("__l").isNull())
+        .count()
+    )
+    if n_miss:
+        raise RuntimeError(
+            f"minhash banding is no longer recall-complete on this corpus ({n_miss} "
+            "pair(s) differ from the exact shard-touching Jaccard pairs): the "
+            "'incremental merge == full recompute' oracle premise broke — the "
+            "testdata was likely regenerated with borderline-jaccard near-dups; "
+            "raise bands/hashes in _doc_clusters_incremental or re-seed"
+        )
     return neardup_clusters_incremental(shard, shard_pairs, stored)
 
 

@@ -305,13 +305,17 @@ def main() -> int:
         if timings["ann_ivf_batch67_200k"] >= timings["ann_lsh_batch67_200k"] and elapsed() < 640:
             # a single-sample inversion (IVF reading slower than LSH) on
             # this VM is almost always steal noise — one best-of retry for
-            # BOTH index paths (same treatment, so no cherry-picking)
-            t0 = time.monotonic()
-            big_lsh.topk_batch(batch_q, k=10).count()
-            timings["ann_lsh_batch67_200k"] = round(min(timings["ann_lsh_batch67_200k"], time.monotonic() - t0), 3)
-            t0 = time.monotonic()
-            big_ivf.topk_batch(batch_q, k=10, nprobe=4).count()
-            timings["ann_ivf_batch67_200k"] = round(min(timings["ann_ivf_batch67_200k"], time.monotonic() - t0), 3)
+            # ALL THREE paths under the SAME action (collect, matching the
+            # initial timed samples: min-merging a cheaper count() would
+            # bias the index paths vs the exact baseline)
+            for nm, fn in (
+                ("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10)),
+                ("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10)),
+                ("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4)),
+            ):
+                t0 = time.monotonic()
+                fn().collect()
+                timings[nm] = round(min(timings[nm], time.monotonic() - t0), 3)
         ann_recall = {
             "lsh_recall_at10": round(len(exact_set & lsh_set) / max(1, len(exact_set)), 3),
             "ivf256_recall_at10": round(len(exact_set & ivf_set) / max(1, len(exact_set)), 3),

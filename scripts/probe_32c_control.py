@@ -81,6 +81,18 @@ def measure_session(cores: int) -> dict:
 def main() -> int:
     from tag_spark.session import get_spark
 
+    # the probe measures a PRE-STAGED bucketed table; without this guard a
+    # missing warehouse fails with an opaque path-not-found only after
+    # paying JVM startup, and measure_session would then register an
+    # external table over a missing directory
+    if not os.path.exists(os.path.join(WAREHOUSE, TABLE)):
+        print(
+            f"missing {WAREHOUSE}/{TABLE} — run scripts/bench_scaling.py first "
+            "(it stages the bucketed transcript table this probe measures)",
+            file=sys.stderr,
+        )
+        return 2
+
     boot = get_spark(app_name="probe32-boot", master="local[8]", extra_conf={"spark.sql.warehouse.dir": WAREHOUSE})
     n_turns = boot.read.parquet(f"{WAREHOUSE}/{TABLE}").count()
     boot.stop()

@@ -402,7 +402,35 @@ def simhash_chunk_table(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
+        # the ball radius the chunk width was derived from rides WITH the
+        # persisted index (constant column — parquet RLEs it to nothing) so
+        # incremental probes can refuse a mismatched query instead of
+        # silently joining mismatched chunk widths
+        F.lit(max_hamming).cast("int").alias("max_hamming"),
     )
+
+
+def _assert_chunk_ball(chunk_table: DataFrame, max_hamming: int) -> None:
+    """Chunk width is fixed at index-build time: joining shard chunks built
+    with a DIFFERENT max_hamming against a stored chunk table would
+    silently return near-empty results (the widths differ, so the
+    (chunk_idx, chunk_val) equi-join just misses). Fail loudly instead —
+    the table carries its radius as a constant column; probing it is a
+    LIMIT-1 read, not a scan."""
+    if "max_hamming" not in chunk_table.columns:
+        raise ValueError(
+            "chunk_table has no max_hamming column — rebuild it with this "
+            "version's simhash_chunk_table/simhash_chunk_table_md5 (the "
+            "column pins the chunk width the index was built with)"
+        )
+    row = chunk_table.select("max_hamming").first()
+    if row is not None and row["max_hamming"] != max_hamming:
+        raise ValueError(
+            f"chunk_table was built with max_hamming={row['max_hamming']} but the "
+            f"query passed max_hamming={max_hamming}: chunk widths differ, so the "
+            "candidate equi-join would silently miss pairs — rebuild the index or "
+            "pass the matching max_hamming"
+        )
 
 
 def simhash_pairs(
@@ -454,7 +482,9 @@ def simhash_pairs_incremental(
     fingerprints — no corpus re-hash, no corpus text read at all. Pairs
     normalized to id_a < id_b; equals whole-corpus simhash_pairs restricted
     to pairs touching the shard. Roll the index forward by appending the
-    shard's simhash_chunk_table."""
+    shard's simhash_chunk_table. Raises if ``chunk_table`` was built with a
+    different max_hamming (mismatched chunk widths would silently miss)."""
+    _assert_chunk_ball(chunk_table, max_hamming)
     nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
@@ -520,6 +550,8 @@ def simhash_chunk_table_md5(
         F.posexplode(
             F.array(*[F.substring("simhash_hex", i * width + 1, width) for i in range(n_chunks)])
         ).alias("chunk_idx", "chunk_val"),
+        # same radius pin as the xxhash64 twin (see _assert_chunk_ball)
+        F.lit(max_hamming).cast("int").alias("max_hamming"),
     )
 
 
@@ -538,7 +570,9 @@ def simhash_pairs_incremental_md5(
     pigeonhole guarantee the result equals ALL pairs touching the shard
     with hamming <= max_hamming, which is exactly what an independent SQL
     engine can recompute (the driver-gate oracle does). Reference analog:
-    re-walk only what you point at (cmd/check/main.go:77-99)."""
+    re-walk only what you point at (cmd/check/main.go:77-99). Raises if
+    ``chunk_table`` was built with a different max_hamming."""
+    _assert_chunk_ball(chunk_table, max_hamming)
     nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")

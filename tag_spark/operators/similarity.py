@@ -534,7 +534,12 @@ def _fs_write_text(spark, path: str, text: str) -> None:
     S3A) — local os.path/open would silently break on non-local paths.
     Written to a temp sibling then renamed: a crash mid-write must never
     leave truncated JSON at the final path (readers additionally guard the
-    parse and treat unparseable meta as stale)."""
+    parse and treat unparseable meta as stale). Rename is attempted FIRST
+    (overwrite semantics where the FS gives them — POSIX rename does);
+    only if the FS refuses rename-onto-existing do we delete then retry,
+    which narrows the no-meta crash window to that one FS family and the
+    instant between the two calls — documented: a crash there loses the
+    previous valid meta and readers rebuild, never read garbage."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -544,9 +549,10 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    fs.delete(p, False)
     if not fs.rename(tmp, p):
-        raise IOError(f"rename {tmp} -> {p} failed")
+        fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"rename {tmp} -> {p} failed")
 
 
 def _fs_read_text(spark, path: str) -> str | None:
