@@ -599,6 +599,31 @@ def simhash_pairs_incremental_md5(
     )
 
 
+def _observed_changed_count(obs, fallback, timeout_s: float = 30.0) -> tuple[int, bool]:
+    """Read the round's n_changed metric from an Observation, guarded: on a
+    degenerate plan Catalyst can ELIMINATE the CollectMetrics node (e.g.
+    empty-after-filter folding), in which case the JVM-side get BLOCKS
+    forever rather than raising — so the read runs on a bounded daemon
+    thread and falls back to an explicit (extra-action) probe when the
+    metric never arrives. Returns (count, used_fallback)."""
+    import threading
+
+    out: dict = {}
+
+    def grab() -> None:
+        try:
+            out["v"] = obs.get
+        except Exception:
+            pass
+
+    t = threading.Thread(target=grab, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if "v" in out and out["v"].get("n_changed") is not None:
+        return int(out["v"]["n_changed"]), False
+    return int(fallback()), True
+
+
 def neardup_clusters(
     ids_df: DataFrame,
     pairs_df: DataFrame,
@@ -606,6 +631,8 @@ def neardup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS — the dedup endgame:
     connected components over the pair graph, labeling every document with
@@ -628,22 +655,45 @@ def neardup_clusters(
 
     Determinism: min() labels are order-insensitive; the result is a pure
     function of the pair set. An independent SQL engine replays it with a
-    recursive CTE (the driver-gate oracle does exactly that)."""
+    recursive CTE (the driver-gate oracle does exactly that).
+
+    ``checkpoint_dir``: when set, rounds truncate lineage with RELIABLE
+    ``.checkpoint()`` into that directory (``setCheckpointDir`` is called
+    for you) — the fault-tolerant mode for real cluster runs, where an
+    executor loss mid-loop would kill a localCheckpoint'ed run. Default
+    (None) keeps ``localCheckpoint``: label RDDs stay on executors, the
+    right trade for a bounded O(log n)-round local loop. Both modes
+    produce identical labels and constant-size plans (tested).
+
+    ``stats_out``: optional dict that receives {"rounds": int,
+    "probe_fallbacks": int} — rounds actually run and how many
+    convergence probes had to fall back to the explicit extra action
+    (normally 0: the count of changed labels is folded into the round's
+    single checkpoint action via ``observe()``)."""
+    from pyspark.sql import Observation
+
+    spark = ids_df.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def truncate(df: DataFrame) -> DataFrame:
+        # lineage truncation, NOT persist: persist caches the DATA but the
+        # ANALYZED PLAN still chains every previous round's self-joins, and
+        # Catalyst re-analyzes the whole tree per action — measured 119s
+        # for a round over an 11-row label table by round 4 (driver-bound,
+        # executors idle). Checkpointing keeps every round's plan
+        # constant-size.
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
     nodes = ids_df.select(F.col(id_col).alias("id")).distinct()
     e = pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    # localCheckpoint, NOT persist: persist caches the DATA but the
-    # ANALYZED PLAN still chains every previous round's self-joins, and
-    # Catalyst re-analyzes the whole tree per action — measured 119s for a
-    # round over an 11-row label table by round 4 (driver-bound, executors
-    # idle). Checkpointing truncates the lineage so every round's plan is
-    # constant-size. On a fault-tolerant cluster run, prefer
-    # sparkContext.setCheckpointDir + .checkpoint() (reliable storage);
-    # localCheckpoint keeps the label RDD on executors, which is the right
-    # trade for a bounded O(log n)-round loop.
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = truncate(nodes.select("id", F.col("id").alias("label")))
+    rounds = 0
+    probe_fallbacks = 0
     try:
         for _ in range(max_rounds):
+            rounds += 1
             # 1) neighbor-min: each node takes the min label in its closed
             #    neighborhood (map-side combined groupBy on a lean table)
             nb = (
@@ -652,29 +702,43 @@ def neardup_clusters(
                 .agg(F.min("nb_label").alias("nb_min"))
                 .select(F.col("a").alias("id"), "nb_min")
             )
+            # the round-start label rides along as old_label so the
+            # convergence count can be observed in the SAME action as the
+            # checkpoint — one job per round, not three
             stepped = labels.join(nb, "id", "left").select(
-                "id", F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias("label")
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))).alias("label"),
+                F.col("label").alias("old_label"),
             )
             # 2) pointer jump: label <- label(label). Labels are node ids,
             #    so the hop is a left self-join on the label table
             parent = stepped.select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
-            jumped = (
+            obs = Observation()
+            jumped = truncate(
                 stepped.join(parent, stepped["label"] == parent["p_id"], "left")
-                .select(stepped["id"], F.coalesce(parent["p_label"], stepped["label"]).alias("label"))
-                .localCheckpoint(eager=True)
+                .select(
+                    stepped["id"],
+                    F.coalesce(parent["p_label"], stepped["label"]).alias("label"),
+                    stepped["old_label"],
+                )
+                # coalesce: over ZERO rows sum() is NULL, and per CLAUDE.md
+                # degenerate plans may drop the metrics node entirely — the
+                # guarded reader below handles both
+                .observe(obs, F.coalesce(F.sum((F.col("label") != F.col("old_label")).cast("long")), F.lit(0)).alias("n_changed"))
             )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = jumped
+
+            def probe_changed(j: DataFrame = jumped) -> int:
+                return j.filter(F.col("label") != F.col("old_label")).limit(1).count()
+
+            changed, used_fallback = _observed_changed_count(obs, probe_changed)
+            probe_fallbacks += int(used_fallback)
+            labels = jumped.select("id", "label")
             if changed == 0:
                 break
         else:
             raise RuntimeError(f"neardup_clusters did not converge in {max_rounds} rounds")
+        if stats_out is not None:
+            stats_out.update({"rounds": rounds, "probe_fallbacks": probe_fallbacks})
         sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (
             labels.join(sizes, "label")
@@ -697,6 +761,8 @@ def neardup_clusters_incremental(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Merge a NEW shard into a standing cluster table without touching
     corpus text: the stored (id, cluster_id) table is itself a STAR graph
@@ -715,4 +781,4 @@ def neardup_clusters_incremental(
     )
     all_ids = stored_labels_df.select(id_col).unionByName(new_ids_df.select(id_col)).distinct()
     pairs = new_pairs_df.select(id_a, id_b).unionByName(star_edges)
-    return neardup_clusters(all_ids, pairs, id_col, id_a, id_b, max_rounds)
+    return neardup_clusters(all_ids, pairs, id_col, id_a, id_b, max_rounds, checkpoint_dir, stats_out)

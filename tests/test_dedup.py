@@ -316,3 +316,92 @@ def test_neardup_clusters_plan_size_is_round_independent(spark):
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
     got = {r["doc_id"]: r["cluster_id"] for r in res.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_neardup_clusters_one_action_per_round(spark):
+    """The convergence probe is FOLDED into each round's single checkpoint
+    action via observe(): probe_fallbacks must be 0 (the changed-label
+    count came from the observed metric, no extra job), and with AQE off
+    the job count is bounded by 3/round (the checkpoint action plus the
+    two joins' broadcast builds) — the old explicit probe added its own
+    action + broadcasts every round."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    sc = spark.sparkContext
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = 24
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.range(n - 1).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        stats: dict = {}
+        sc.setJobGroup("cc-action-count", "neardup_clusters job-count pin")
+        res = neardup_clusters(ids, pairs, stats_out=stats)
+        sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-action-count")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert stats["probe_fallbacks"] == 0, stats
+    assert stats["rounds"] >= 3  # a 24-path needs several propagation rounds
+    assert len(jobs) <= 3 * stats["rounds"] + 2, (len(jobs), stats)
+    row = res.agg(F.min("cluster_id"), F.max("cluster_id"), F.count(F.lit(1))).first()
+    assert tuple(row) == (0, 0, 24)
+
+
+def test_neardup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (fault-tolerant .checkpoint()) must produce
+    labels identical to the localCheckpoint default AND keep the returned
+    plan constant-size."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8), (9, 10)],
+        "id_a long, id_b long",
+    )
+    local = {(r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in neardup_clusters(ids, pairs).collect()}
+    rel_df = neardup_clusters(ids, pairs, checkpoint_dir=str(tmp_path / "cc_ckpt"))
+    reliable = {(r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in rel_df.collect()}
+    assert local == reliable
+    plan = rel_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3, plan
+
+
+def test_neardup_clusters_path_graph_stress(spark):
+    """10^4-node PATH — worst-case diameter, the shape a chained
+    boilerplate-dup corpus produces. Pointer jumping must converge in
+    O(log n) rounds (well under max_rounds), with a constant-size plan and
+    nothing but the per-round 1-row metric reaching the driver."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    n = 10_000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    stats: dict = {}
+    res = neardup_clusters(ids, pairs, stats_out=stats)
+    row = res.agg(
+        F.min("cluster_id"), F.max("cluster_id"), F.count(F.lit(1)), F.sum(F.col("is_canonical").cast("long"))
+    ).first()
+    assert tuple(row) == (0, 0, n, 1)
+    assert stats["rounds"] <= 20, stats  # log2(10^4) ≈ 13.3 + slack; default max_rounds=25 untouched
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3, plan
+
+
+def test_neardup_clusters_star_graph_stress(spark):
+    """10^5-member STAR — worst-case skew on the min-label hub (every spoke
+    joins the hub's label row; the hub aggregates 10^5 neighbor labels in
+    one group). Must converge in a couple of rounds with partial-agg
+    handling the hot key — no driver blowup, no raised max_rounds."""
+    from tag_spark.operators.dedup import neardup_clusters
+
+    n = 100_000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(1, n).select(F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+    stats: dict = {}
+    res = neardup_clusters(ids, pairs, stats_out=stats)
+    row = res.agg(
+        F.min("cluster_id"), F.max("cluster_id"), F.count(F.lit(1)), F.sum(F.col("is_canonical").cast("long"))
+    ).first()
+    assert tuple(row) == (0, 0, n, 1)
+    assert stats["rounds"] <= 3, stats
