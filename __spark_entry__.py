@@ -1432,6 +1432,92 @@ GROUP BY 1, 2, 3
 """
 
 
+def _streaming_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator oracled end-to-end — closing
+    the one beyond-reference component that had no CORRECTNESS row: the
+    applyInPandasWithState session tracker (streaming/stateful.py:51, the
+    OGG per-serial continued-packet-state analog, ogg.go:104-131) runs as a
+    real readStream -> foreachBatch(availableNow) job over the events
+    table viewed as transcript sessions (conv_id=user_id, turn_idx=
+    event_id), and the per-conversation final state (n_turns / max_idx /
+    n_gaps / n_regressions) must equal an independent batch replay of the
+    same state machine, which the SQL oracle computes with window prefix
+    maxima over the identical (turn_idx NULLS LAST, ts NULLS LAST) order.
+
+    The staged source is ONE file -> ONE micro-batch, so exactly one
+    update row per conversation reaches the sink (cross-batch state carry
+    is pinned separately by tests/test_stateful_streaming.py; the state
+    MATH is batch-count-invariant by construction). ts is pre-cast
+    NTZ->TIMESTAMP (session TZ pinned UTC) and the tracker casts it to
+    double epoch seconds before Arrow — the year-9999 overflow guard."""
+    import tempfile
+
+    from tag_spark.streaming.stateful import session_tracker
+
+    schema = _t(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="tag_spark_stream_state_")
+    _stage_stream_source(spark, f"{sf_dir}/events.parquet", f"{d}/src")
+    stream = spark.readStream.schema(schema).parquet(f"{d}/src")
+    conv = stream.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("long").alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = session_tracker(conv)
+    q = (
+        out.writeStream.foreachBatch(lambda df, _epoch: df.write.mode("append").parquet(f"{d}/sink"))
+        .outputMode("update")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{d}/sink").select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("max_idx").cast("long").alias("max_idx"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("n_regressions").cast("long").alias("n_regressions"),
+    )
+
+
+# Independent replay of the session-tracker state machine: the tracker
+# sorts each conversation by (turn_idx, ts_epoch) NaN-last, seeds
+# (max_idx=-1, last_ts=-inf), counts idx > prefix_max(idx)+1 as gaps and
+# ts < prefix_max(ts) as regressions (NULLs excluded from both, exactly as
+# NaN compares False in numpy). Window prefix maxima with NULLS LAST
+# replicate it; -1e300 stands in for -inf (no real value goes below it).
+_STREAMING_SESSION_STATE_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(event_id AS DOUBLE) AS idx,
+         event_id,
+         epoch_us(ts) / 1000000.0 AS tse
+  FROM events
+),
+w AS (
+  SELECT conv_id, idx, event_id, tse,
+         max(coalesce(idx, -1e300)) OVER (
+           PARTITION BY conv_id ORDER BY idx ASC NULLS LAST, tse ASC NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+         max(coalesce(tse, -1e300)) OVER (
+           PARTITION BY conv_id ORDER BY idx ASC NULLS LAST, tse ASC NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+  FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(max(event_id), -1) AS BIGINT) AS max_idx,
+       CAST(count(*) FILTER (
+         WHERE idx IS NOT NULL AND idx > greatest(coalesce(pm, -1.0), -1.0) + 1
+       ) AS BIGINT) AS n_gaps,
+       CAST(count(*) FILTER (
+         WHERE tse IS NOT NULL AND tse < coalesce(pt, -1e300)
+       ) AS BIGINT) AS n_regressions
+FROM w GROUP BY conv_id
+"""
+
+
 def _payload_digests_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 metadata-invariant digest, md5 variant: per-user ordered digest
     over ONLY (event_type, value) — changing any other column must not move
@@ -1613,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclusion_digests_md5": _exclusion_digests_md5,
         "streaming_events_violations": _streaming_events_violations,
         "streaming_violation_rates": _streaming_violation_rates,
+        "streaming_session_state": _streaming_session_state,
         "violation_samples_topk": _violation_samples_topk,
     }
 
@@ -1720,6 +1807,9 @@ def oracle_sql() -> dict[str, str]:
         "exclusion_digests_md5": _EXCLUSION_DIGESTS_SQL,
         "streaming_events_violations": _STREAMING_EVENTS_SQL,
         "streaming_violation_rates": _STREAMING_RATES_SQL,
+        # the stateful applyInPandasWithState tracker vs an independent
+        # window-prefix-max replay of its state machine
+        "streaming_session_state": _STREAMING_SESSION_STATE_SQL,
         "violation_samples_topk": _VIOLATION_SAMPLES_SQL,
     }
 
