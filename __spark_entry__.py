@@ -1178,6 +1178,55 @@ FROM documents
 """
 
 
+def _asset_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-dimension decode oracled (closes the round-4 stub gap
+    for fixed-offset formats): documents become image assets whose payloads
+    are byte-for-byte spec headers — even doc_ids a PNG signature + IHDR
+    chunk with deterministic u32-BE width/height, odd doc_ids a GIF89a
+    signature + u16-LE logical-screen dims — constructed with
+    hex/lpad/unhex expressions, then decoded BACK by the independent
+    substring/hex/conv header parsers inside decode_image_features
+    (parsing.py png_ihdr_dims/gif_screen_dims). The oracle recomputes the
+    planted dims directly from the doc_id formula, so any byte-order or
+    offset bug in the parser (or constructor) hash-mismatches. Reference
+    analog: Picture payload fields id3v2frames.go:545-551, PNG sniff
+    mp4.go:54-55, BE int fold util.go:27-34."""
+    from tag_spark.operators.multimodal import MAGIC, _u16le_bytes, _u32be_bytes, decode_image_features, sniff_kind
+
+    d = _t(spark, sf_dir, "documents")
+    width = (F.pmod(F.col("doc_id"), F.lit(1000)) + 16).cast("int")
+    height = (F.pmod(F.col("doc_id") * 7, F.lit(1000)) + 16).cast("int")
+    png_payload = F.concat(
+        F.lit(MAGIC["png"]),
+        _u32be_bytes(F.lit(13)),
+        F.lit(b"IHDR"),
+        _u32be_bytes(width),
+        _u32be_bytes(height),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    gif_payload = F.concat(F.lit(b"GIF89a"), _u16le_bytes(width), _u16le_bytes(height))
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, png_payload).otherwise(gif_payload).alias("payload"),
+    )
+    feat = decode_image_features(assets)
+    sniffed = assets.select("asset_id", sniff_kind().alias("fmt"))
+    return feat.join(sniffed, "asset_id").select(
+        "asset_id", "fmt", F.col("width").cast("int").alias("width"), F.col("height").cast("int").alias("height"), "decoder"
+    )
+
+
+_ASSET_IMAGE_DIMS_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+       CAST(doc_id % 1000 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 1000 + 16 AS INT) AS height,
+       'header' AS decoder
+FROM documents
+"""
+
+
 def _stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-bucket quantiles (the t-digest sketch's exact companion —
     percentile() is Spark's exact sorting implementation with linear
@@ -1691,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": _ivf_kmeans_topk,
         "ivf_incremental_assign": _ivf_incremental_assign,
         "asset_binary_profile": _asset_binary_profile,
+        "asset_image_dims": _asset_image_dims,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
         "declared_turns_check": _declared_turns_check,
@@ -1799,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_kmeans_topk": _ivf_oracle(n_cells=32, nprobe=8, k=10, kmeans_iters=2),
         "ivf_incremental_assign": _ivf_incremental_oracle(n_cells=16, kmeans_iters=1),
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
+        # planted-dims formula vs the real byte-level header parse
+        "asset_image_dims": _ASSET_IMAGE_DIMS_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),
         "declared_turns_check": _DECLARED_TURNS_SQL,

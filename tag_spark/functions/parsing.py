@@ -261,6 +261,40 @@ def has_magic(bin_col: Column | str, magic: bytes) -> Column:
     return F.substring(_c(bin_col), 1, len(magic)) == F.lit(magic)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_DIMS_T = "struct<width:int,height:int>"
+
+
+def png_ihdr_dims(bin_col: Column | str) -> Column:
+    """REAL PNG dimension decode with zero dependencies: the IHDR chunk is
+    mandatory-first by spec, so width/height are fixed-offset u32-BE
+    fields at bytes 17-20 / 21-24 (1-indexed: 8 signature + 4 chunk length
+    + 'IHDR'). Pure JVM expressions (substring + hex + conv) — same
+    byte-fold family as be_bytes_to_int (getInt, util.go:27-34); NULL for
+    non-PNG, truncated, or IHDR-less payloads (those fall back to the
+    honestly-labeled stub decoder). Reference analog: Picture payload
+    fields, id3v2frames.go:545-551; PNG sniff, mp4.go:54-55."""
+    b = _c(bin_col)
+    ok = has_magic(b, PNG_MAGIC) & (F.substring(b, 13, 4) == F.lit(b"IHDR")) & (F.length(b) >= 24)
+    w = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("int")
+    h = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("int")
+    return F.when(ok, F.struct(w.alias("width"), h.alias("height"))).otherwise(F.lit(None).cast(_DIMS_T))
+
+
+def gif_screen_dims(bin_col: Column | str) -> Column:
+    """REAL GIF dimension decode: the logical-screen descriptor directly
+    follows the 6-byte signature, width/height as u16-LE at bytes 7-8 /
+    9-10 — little-endian fold like readUint32LE (util.go:96-102), two
+    bytes wide. NULL for non-GIF / truncated payloads."""
+    b = _c(bin_col)
+    sig = F.substring(b, 1, 6)
+    ok = ((sig == F.lit(b"GIF87a")) | (sig == F.lit(b"GIF89a"))) & (F.length(b) >= 10)
+    w = (_byte_at(b, F.lit(7)) + _byte_at(b, F.lit(8)) * 256).cast("int")
+    h = (_byte_at(b, F.lit(9)) + _byte_at(b, F.lit(10)) * 256).cast("int")
+    return F.when(ok, F.struct(w.alias("width"), h.alias("height"))).otherwise(F.lit(None).cast(_DIMS_T))
+
+
 # --- F17: OGG page CRC-32 (ogg.go:20-47) --------------------------------------
 
 # The OGG spec CRC is MSB-first, poly 0x04c11db7, init 0, no reflection, no

@@ -43,6 +43,7 @@ ASSET_SCHEMA = T.StructType(
 # magic prefixes, as the reference sniffs them (tag.go:41-56, mp4.go:54-55)
 MAGIC = {
     "png": b"\x89PNG\r\n\x1a\n",
+    "gif": b"GIF89a",
     "jpeg": b"\xff\xd8\xff",
     "wav": b"RIFF",
     "mp4": b"\x00\x00\x00\x18ftyp",
@@ -56,13 +57,42 @@ except ImportError:
     _HAS_PIL = False
 
 
+def _u32be_bytes(v) -> "F.Column":
+    """int expression -> 4 bytes big-endian, via hex round-trip (pure JVM)."""
+    return F.unhex(F.lpad(F.hex(v.cast("long")), 8, "0"))
+
+
+def _u16le_bytes(v) -> "F.Column":
+    """int expression -> 2 bytes little-endian."""
+    lo = F.lpad(F.hex(F.pmod(v.cast("long"), F.lit(256))), 2, "0")
+    hi = F.lpad(F.hex(F.floor(v.cast("long") / 256)), 2, "0")
+    return F.unhex(F.concat(lo, hi))
+
+
 def generate_assets(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table: payload bytes derived from
-    sha2(asset_id), prefixed with a real magic number per kind."""
+    sha2(asset_id), prefixed with a real magic number per kind. Image
+    assets carry a REAL spec-conformant header — PNG signature + IHDR
+    chunk (deterministic width/height u32-BE, bit depth 8, color type 6)
+    or GIF89a signature + logical-screen descriptor (u16-LE dims) — so the
+    header-decode path (png_ihdr_dims / gif_screen_dims) exercises real
+    fixed-offset parsing, not stub pseudo-dimensions."""
     base = spark.range(n).select(F.col("id").alias("asset_id"))
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(F.xxhash64("asset_id", F.lit(seed)), F.lit(3)) + 1).cast("int"))
+    width = (F.pmod(F.col("asset_id"), F.lit(1000)) + 16).cast("int")
+    height = (F.pmod(F.col("asset_id") * 7, F.lit(1000)) + 16).cast("int")
+    png_header = F.concat(
+        F.lit(MAGIC["png"]),
+        _u32be_bytes(F.lit(13)),  # IHDR data length
+        F.lit(b"IHDR"),
+        _u32be_bytes(width),
+        _u32be_bytes(height),
+        F.lit(b"\x08\x06\x00\x00\x00"),  # bit depth 8, RGBA, default methods
+    )
+    gif_header = F.concat(F.lit(b"GIF89a"), _u16le_bytes(width), _u16le_bytes(height))
     magic = (
-        F.when(kind == "image", F.lit(MAGIC["png"]))
+        F.when((kind == "image") & (F.col("asset_id") % 2 == 0), png_header)
+        .when(kind == "image", gif_header)
         .when(kind == "audio", F.lit(MAGIC["wav"]))
         .otherwise(F.lit(MAGIC["mp4"]))
     )
@@ -70,7 +100,12 @@ def generate_assets(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataF
     # payload length varies deterministically 1-16 body repeats
     reps = (F.pmod(F.xxhash64("asset_id", F.lit("len"), F.lit(seed)), F.lit(16)) + 1).cast("int")
     payload = F.concat(magic, F.aggregate(F.sequence(F.lit(1), reps), F.lit(b""), lambda acc, _: F.concat(acc, body)))
-    mime = F.when(kind == "image", F.lit("image/png")).when(kind == "audio", F.lit("audio/wav")).otherwise(F.lit("video/mp4"))
+    mime = (
+        F.when((kind == "image") & (F.col("asset_id") % 2 == 0), F.lit("image/png"))
+        .when(kind == "image", F.lit("image/gif"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
     meta = F.create_map(F.lit("source"), F.concat(F.lit("gen-"), F.pmod(F.col("asset_id"), F.lit(10)).cast("string")))
     return base.select("asset_id", kind.alias("kind"), mime.alias("mime"), payload.alias("payload"), meta.alias("meta"))
 
@@ -80,6 +115,7 @@ def sniff_kind(payload_col: str = "payload"):
     p = F.col(payload_col)
     return (
         F.when(F.substring(p, 1, 8) == F.lit(MAGIC["png"]), F.lit("png"))
+        .when((F.substring(p, 1, 6) == F.lit(b"GIF87a")) | (F.substring(p, 1, 6) == F.lit(b"GIF89a")), F.lit("gif"))
         .when(F.substring(p, 1, 3) == F.lit(MAGIC["jpeg"]), F.lit("jpeg"))
         .when(F.substring(p, 1, 4) == F.lit(MAGIC["wav"]), F.lit("wav"))
         .when(F.substring(p, 1, 8) == F.lit(MAGIC["mp4"]), F.lit("mp4"))
@@ -111,10 +147,12 @@ _DECODE_STRUCT = T.StructType(
 
 
 def _decode_batch(kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
-    """Arrow-batched decode stand-in. The per-payload work here is the
-    decode itself (a real decoder is inherently per-payload — PIL absent
-    from this container, so the STUB derives deterministic pseudo-dimensions
-    from the content hash, clearly labeled ``decoder='stub'``)."""
+    """Arrow-batched decode stand-in for formats whose dimensions are NOT
+    fixed-offset header fields (JPEG needs a variable-offset SOF-marker
+    scan; PIL absent from this container) — the STUB derives deterministic
+    pseudo-dimensions from the content hash, clearly labeled
+    ``decoder='stub'``. PNG and GIF never reach this path: their dims are
+    real JVM header decodes (png_ihdr_dims / gif_screen_dims)."""
     widths: list[int | None] = []
     heights: list[int | None] = []
     for k, p in zip(kind, payload):
@@ -131,23 +169,39 @@ def decode_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFram
     """Feature-extraction over image payloads.
 
     ``n_bytes`` and ``content_sha256`` are pure JVM expressions
-    (``F.length`` / ``F.sha2`` — codegen'd, vectorized, no Python);
-    only the decode-only fields (width/height/decoder) come from an
-    Arrow-batched pandas UDF, in ONE projection with no extra join or
-    shuffle. With PIL present the UDF would decode real dimensions; in
-    this container it runs the clearly-labeled STUB path. Batch shape,
-    schema and partitioning are identical either way."""
+    (``F.length`` / ``F.sha2`` — codegen'd, vectorized, no Python).
+    Width/height are REAL header decodes for PNG (IHDR u32-BE) and GIF
+    (logical-screen u16-LE) via fixed-offset JVM expressions —
+    ``decoder='header'`` — with only the variable-offset formats (JPEG)
+    falling to the Arrow-batched stub UDF, clearly labeled
+    ``decoder='stub'``. ONE projection, no extra join or shuffle; the UDF
+    is evaluated once (single ``__d`` struct column)."""
     from pyspark.sql.functions import pandas_udf
+
+    from tag_spark.functions.parsing import gif_screen_dims, png_ihdr_dims
 
     decode = pandas_udf(_decode_batch, _DECODE_STRUCT)
     empty = F.lit(b"")
-    return df.select(
+    p = F.coalesce(F.col("payload"), empty)
+    step = df.select(
         "asset_id",
         "kind",
-        F.length(F.coalesce(F.col("payload"), empty)).cast("long").alias("n_bytes"),
-        F.sha2(F.coalesce(F.col("payload"), empty), 256).alias("content_sha256"),
+        F.length(p).cast("long").alias("n_bytes"),
+        F.sha2(p, 256).alias("content_sha256"),
+        png_ihdr_dims(p).alias("__png"),
+        gif_screen_dims(p).alias("__gif"),
         decode(F.col("kind"), F.col("payload")).alias("__d"),
-    ).select("asset_id", "kind", "n_bytes", "content_sha256", "__d.width", "__d.height", "__d.decoder")
+    )
+    header = F.coalesce(F.col("__png"), F.col("__gif"))
+    return step.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "content_sha256",
+        F.coalesce(header["width"], F.col("__d.width")).alias("width"),
+        F.coalesce(header["height"], F.col("__d.height")).alias("height"),
+        F.when(header.isNotNull(), F.lit("header")).otherwise(F.col("__d.decoder")).alias("decoder"),
+    )
 
 
 FRAME_SCHEMA = T.StructType(

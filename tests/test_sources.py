@@ -56,10 +56,10 @@ def test_multimodal_roundtrip(spark):
     assets = generate_assets(spark, n=200, seed=42).cache()
     kinds = {r["kind"] for r in assets.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
-    # magic sniff agrees with declared kind
+    # magic sniff agrees with declared kind (images alternate png/gif)
     sniffed = assets.withColumn("sniff", sniff_kind())
     bad = sniffed.filter(
-        ((F.col("kind") == "image") & (F.col("sniff") != "png"))
+        ((F.col("kind") == "image") & (~F.col("sniff").isin("png", "gif")))
         | ((F.col("kind") == "audio") & (F.col("sniff") != "wav"))
         | ((F.col("kind") == "video") & (F.col("sniff") != "mp4"))
     )
@@ -68,7 +68,14 @@ def test_multimodal_roundtrip(spark):
     assert feats.count() == 200
     img = feats.filter(F.col("kind") == "image")
     assert img.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
-    assert feats.filter(F.col("decoder") != "stub").count() == 0  # no PIL here
+    # PNG/GIF dims are REAL header decodes: every image row must report
+    # decoder='header' and recover the exact planted dimensions
+    assert img.filter(F.col("decoder") != "header").count() == 0
+    planted_w = (F.col("asset_id") % 1000 + 16).cast("int")
+    planted_h = (F.col("asset_id") * 7 % 1000 + 16).cast("int")
+    assert img.filter((F.col("width") != planted_w) | (F.col("height") != planted_h)).count() == 0
+    # non-image rows keep the honestly-labeled stub path (no PIL here)
+    assert feats.filter((F.col("kind") != "image") & (F.col("decoder") != "stub")).count() == 0
     # determinism
     f2 = {r["asset_id"]: r["content_sha256"] for r in decode_image_features(assets.repartition(7)).collect()}
     f1 = {r["asset_id"]: r["content_sha256"] for r in feats.collect()}
