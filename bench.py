@@ -166,13 +166,15 @@ def main() -> int:
         )
     else:
         (
-            transcripts.repartition(64, "conv_id")
+            spark.read.parquet(tpath)
+            .repartition(64, "conv_id")
             .write.bucketBy(64, "conv_id")
             .sortBy("conv_id", "turn_idx")
             .option("path", tloc)
             .mode("overwrite")
             .saveAsTable(table)
         )
+
     def make_runners(s) -> dict:
         """Session-bound closures for every REPAIRABLE query — ONE
         definition used by BOTH the initial timed pass and the late-window
