@@ -1178,6 +1178,50 @@ FROM documents
 """
 
 
+def _asset_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling oracled end-to-end: documents become audio assets
+    (ASCII 'RIFF' + text bytes, chosen so DuckDB's VARCHAR-only sha256 and
+    char-based substring slice the IDENTICAL byte stream — the corpus is
+    verified pure ASCII), flow through the real mapInPandas splitter
+    (sample_frames: payload -> n_frames equal chunks, trailing remainder
+    dropped, sha256 + length per chunk), and the oracle replays the
+    chunking arithmetic with substring windows. Verifies the Arrow
+    batch fan-out (one input row -> up to 4 frame rows) byte-for-byte.
+    Reference analog: lacing-value packet reassembly slices one page into
+    segments, ogg.go:120-133."""
+    from tag_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.concat(F.lit("RIFF"), F.coalesce(F.col("text"), F.lit(""))), "UTF-8").alias("payload"),
+    )
+    return sample_frames(assets, n_frames=4).select(
+        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_sha256", "n_bytes"
+    )
+
+
+_ASSET_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, 'RIFF' || coalesce(text, '') AS s FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         greatest(CAST(floor(length(s) / 4) AS INT), 1) AS step
+  FROM p WHERE length(s) > 0
+),
+f AS (
+  SELECT doc_id, i.range AS i, substring(s, CAST(i.range * step + 1 AS INT), step) AS chunk
+  FROM c, range(4) i
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
+       sha256(chunk) AS frame_sha256,
+       CAST(length(chunk) AS BIGINT) AS n_bytes
+FROM f WHERE length(chunk) > 0
+"""
+
+
 def _asset_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-dimension decode oracled (closes the round-4 stub gap
     for fixed-offset formats): documents become image assets whose payloads
@@ -1223,6 +1267,50 @@ SELECT doc_id AS asset_id,
        CAST(doc_id % 1000 + 16 AS INT) AS width,
        CAST((doc_id * 7) % 1000 + 16 AS INT) AS height,
        'header' AS decoder
+FROM documents
+"""
+
+
+def _asset_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG dimension decode oracled (closes the last decode stub):
+    documents become JPEG assets whose payloads are spec-conformant marker
+    streams — SOI, a COM segment whose length VARIES per row
+    (doc_id % 37 + 1 filler bytes), then SOF0 with planted u16-BE dims.
+    Because the SOF offset is row-variable, the engine can only recover
+    the dims by actually walking the markers (jpeg_sof_dims in the
+    Arrow-batched UDF, decoder='sof-scan'); a fixed-offset cheat would
+    hash-mismatch. The oracle recomputes the planted dims from the doc_id
+    formula. Reference analog: the frame loop id3v2.go:229-258 walking
+    variable-length frames to the one it wants; Picture payload fields
+    id3v2frames.go:545-551."""
+    from tag_spark.operators.multimodal import decode_image_features, jpeg_payload
+
+    d = _t(spark, sf_dir, "documents")
+    width = (F.pmod(F.col("doc_id"), F.lit(1000)) + 16).cast("int")
+    height = (F.pmod(F.col("doc_id") * 7, F.lit(1000)) + 16).cast("int")
+    pad = F.pmod(F.col("doc_id"), F.lit(37)) + 1
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        jpeg_payload(width, height, pad).alias("payload"),
+    )
+    return decode_image_features(assets).select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "decoder",
+        # total stream length pins the construction arithmetic too:
+        # 2 SOI + (4 + pad) COM + 19 SOF0 + 2 EOI
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+_ASSET_JPEG_DIMS_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 1000 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 1000 + 16 AS INT) AS height,
+       'sof-scan' AS decoder,
+       CAST(2 + 4 + (doc_id % 37 + 1) + 19 + 2 AS BIGINT) AS n_bytes
 FROM documents
 """
 
@@ -1741,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_incremental_assign": _ivf_incremental_assign,
         "asset_binary_profile": _asset_binary_profile,
         "asset_image_dims": _asset_image_dims,
+        "asset_jpeg_dims": _asset_jpeg_dims,
+        "asset_frames": _asset_frames,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
         "declared_turns_check": _declared_turns_check,
@@ -1851,6 +1941,10 @@ def oracle_sql() -> dict[str, str]:
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         # planted-dims formula vs the real byte-level header parse
         "asset_image_dims": _ASSET_IMAGE_DIMS_SQL,
+        # planted-dims formula vs the variable-offset SOF marker walk
+        "asset_jpeg_dims": _ASSET_JPEG_DIMS_SQL,
+        # mapInPandas frame fan-out vs substring-window chunking replay
+        "asset_frames": _ASSET_FRAMES_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
         "events_drift_check": _events_drift_oracle(),
         "declared_turns_check": _DECLARED_TURNS_SQL,

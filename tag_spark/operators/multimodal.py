@@ -9,10 +9,13 @@ fields (length, content hash, magic sniff) are pure JVM expressions, and
 only genuinely-imperative decode work runs in Python — always over Arrow
 batches (pandas UDF / `mapInPandas`), never one row at a time.
 
-The actual image/audio decode libraries are NOT available in this
-container, so `decode_image` et al. run a clearly-marked deterministic
-STUB when the real library is missing — the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested either way.
+Dimension decodes are REAL for every format whose container spec allows
+it without a codec: PNG/GIF via fixed-offset JVM expressions and JPEG via
+a variable-offset SOF-marker walk (`jpeg_sof_dims`). Full pixel decode
+libraries are NOT available in this container, so anything beyond header
+metadata runs a clearly-marked deterministic STUB — the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -69,14 +72,44 @@ def _u16le_bytes(v) -> "F.Column":
     return F.unhex(F.concat(lo, hi))
 
 
+def _u16be_bytes(v) -> "F.Column":
+    """int expression -> 2 bytes big-endian."""
+    return F.unhex(F.lpad(F.hex(v.cast("long")), 4, "0"))
+
+
+def jpeg_payload(width, height, pad_len) -> "F.Column":
+    """Spec-conformant minimal JPEG header stream built from pure JVM
+    expressions: SOI, a COM segment of VARIABLE length (``pad_len`` filler
+    bytes — this is what makes the SOF offset per-row-variable, so a
+    fixed-offset parser cannot fake the decode), then a baseline SOF0
+    frame header carrying the u16-BE height/width, then EOI. The scan-side
+    inverse is ``jpeg_sof_dims``."""
+    com = F.concat(
+        F.lit(b"\xff\xfe"),
+        _u16be_bytes(pad_len + 2),  # segment length includes its own 2 bytes
+        F.encode(F.repeat(F.lit("x"), pad_len.cast("int")), "UTF-8"),
+    )
+    sof0 = F.concat(
+        F.lit(b"\xff\xc0"),
+        _u16be_bytes(F.lit(17)),  # 2 len + 1 precision + 4 dims + 1 ncomp + 3*3
+        F.lit(b"\x08"),  # precision 8
+        _u16be_bytes(height),
+        _u16be_bytes(width),
+        F.lit(b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"),  # 3 components, 4:2:0
+    )
+    return F.concat(F.lit(b"\xff\xd8"), com, sof0, F.lit(b"\xff\xd9"))
+
+
 def generate_assets(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table: payload bytes derived from
     sha2(asset_id), prefixed with a real magic number per kind. Image
     assets carry a REAL spec-conformant header — PNG signature + IHDR
     chunk (deterministic width/height u32-BE, bit depth 8, color type 6)
-    or GIF89a signature + logical-screen descriptor (u16-LE dims) — so the
-    header-decode path (png_ihdr_dims / gif_screen_dims) exercises real
-    fixed-offset parsing, not stub pseudo-dimensions."""
+    or GIF89a signature + logical-screen descriptor (u16-LE dims), or a
+    JPEG SOI + variable-length COM + SOF0 stream — so BOTH decode paths
+    (fixed-offset png_ihdr_dims / gif_screen_dims and the variable-offset
+    jpeg_sof_dims marker walk) exercise real parsing, not stub
+    pseudo-dimensions."""
     base = spark.range(n).select(F.col("id").alias("asset_id"))
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(F.xxhash64("asset_id", F.lit(seed)), F.lit(3)) + 1).cast("int"))
     width = (F.pmod(F.col("asset_id"), F.lit(1000)) + 16).cast("int")
@@ -90,9 +123,12 @@ def generate_assets(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataF
         F.lit(b"\x08\x06\x00\x00\x00"),  # bit depth 8, RGBA, default methods
     )
     gif_header = F.concat(F.lit(b"GIF89a"), _u16le_bytes(width), _u16le_bytes(height))
+    jpeg_header = jpeg_payload(width, height, F.pmod(F.col("asset_id"), F.lit(37)) + 1)
+    img_fmt = F.pmod(F.col("asset_id"), F.lit(3))
     magic = (
-        F.when((kind == "image") & (F.col("asset_id") % 2 == 0), png_header)
-        .when(kind == "image", gif_header)
+        F.when((kind == "image") & (img_fmt == 0), png_header)
+        .when((kind == "image") & (img_fmt == 1), gif_header)
+        .when(kind == "image", jpeg_header)
         .when(kind == "audio", F.lit(MAGIC["wav"]))
         .otherwise(F.lit(MAGIC["mp4"]))
     )
@@ -101,8 +137,9 @@ def generate_assets(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataF
     reps = (F.pmod(F.xxhash64("asset_id", F.lit("len"), F.lit(seed)), F.lit(16)) + 1).cast("int")
     payload = F.concat(magic, F.aggregate(F.sequence(F.lit(1), reps), F.lit(b""), lambda acc, _: F.concat(acc, body)))
     mime = (
-        F.when((kind == "image") & (F.col("asset_id") % 2 == 0), F.lit("image/png"))
-        .when(kind == "image", F.lit("image/gif"))
+        F.when((kind == "image") & (img_fmt == 0), F.lit("image/png"))
+        .when((kind == "image") & (img_fmt == 1), F.lit("image/gif"))
+        .when(kind == "image", F.lit("image/jpeg"))
         .when(kind == "audio", F.lit("audio/wav"))
         .otherwise(F.lit("video/mp4"))
     )
@@ -131,7 +168,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("content_sha256", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        T.StructField("decoder", T.StringType(), False),  # 'pil' | 'stub'
+        T.StructField("decoder", T.StringType(), False),  # 'header' | 'sof-scan' | 'stub'
     ]
 )
 
@@ -146,23 +183,84 @@ _DECODE_STRUCT = T.StructType(
 )
 
 
+# SOF markers that carry frame dimensions (ITU T.81 table B.1): C0-CF minus
+# DHT (C4), JPG (C8, reserved) and DAC (CC) — the baseline/progressive/
+# lossless/hierarchical frame headers all share the same layout
+# (length u16, precision u8, height u16-BE, width u16-BE).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_sof_dims(b: bytes) -> tuple[int, int] | None:
+    """REAL JPEG dimension decode with zero dependencies: walk the marker
+    segments from SOI until a SOF frame header and read height/width at
+    fixed offsets WITHIN that segment. Unlike PNG/GIF this is genuinely
+    variable-offset (COM/APPn/DQT/DHT segments of arbitrary length precede
+    the SOF), so it runs in the Arrow-batched UDF, not a JVM substring —
+    the imperative-walk analog of the reference's frame loop
+    (id3v2.go:229-258) applied to the picture payload it stores opaquely
+    (id3v2frames.go:545-551). Returns (width, height) or None for
+    non-JPEG / truncated / SOF-less payloads."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            return None  # desynchronized: not a marker where one is required
+        m = b[i + 1]
+        if m == 0xFF:  # fill bytes before a marker are legal (B.1.1.2)
+            i += 1
+            continue
+        if m == 0xD9:  # EOI before any SOF
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone markers, no length
+            i += 2
+            continue
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if seglen < 2:
+            return None
+        if m in _JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                return None  # truncated frame header
+            height = (b[i + 5] << 8) | b[i + 6]
+            width = (b[i + 7] << 8) | b[i + 8]
+            return (width, height)
+        i += 2 + seglen
+    return None
+
+
 def _decode_batch(kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
-    """Arrow-batched decode stand-in for formats whose dimensions are NOT
-    fixed-offset header fields (JPEG needs a variable-offset SOF-marker
-    scan; PIL absent from this container) — the STUB derives deterministic
-    pseudo-dimensions from the content hash, clearly labeled
-    ``decoder='stub'``. PNG and GIF never reach this path: their dims are
-    real JVM header decodes (png_ihdr_dims / gif_screen_dims)."""
+    """Arrow-batched decode for formats whose dimensions are NOT
+    fixed-offset header fields. JPEG gets a REAL variable-offset SOF-marker
+    scan (``jpeg_sof_dims``, ``decoder='sof-scan'``); anything else that
+    claims to be an image falls to the clearly-labeled STUB deriving
+    deterministic pseudo-dimensions from the content hash
+    (``decoder='stub'`` — PIL absent from this container). PNG and GIF
+    never reach this path: their dims are real JVM header decodes
+    (png_ihdr_dims / gif_screen_dims)."""
     widths: list[int | None] = []
     heights: list[int | None] = []
+    decoders: list[str] = []
     for k, p in zip(kind, payload):
         b = bytes(p) if p is not None else b""
-        if _HAS_PIL and k == "image":  # pragma: no cover
+        if k != "image":
+            widths.append(None)
+            heights.append(None)
+            decoders.append("stub")
+            continue
+        dims = jpeg_sof_dims(b)
+        if dims is not None:
+            widths.append(dims[0])
+            heights.append(dims[1])
+            decoders.append("sof-scan")
+            continue
+        if _HAS_PIL:  # pragma: no cover
             raise NotImplementedError("real decode path requires PIL-compatible payloads")
         digest = hashlib.sha256(b).hexdigest()
-        widths.append(16 + int(digest[:4], 16) % 4080 if k == "image" else None)
-        heights.append(16 + int(digest[4:8], 16) % 4080 if k == "image" else None)
-    return pd.DataFrame({"width": widths, "height": heights, "decoder": "stub"})
+        widths.append(16 + int(digest[:4], 16) % 4080)
+        heights.append(16 + int(digest[4:8], 16) % 4080)
+        decoders.append("stub")
+    return pd.DataFrame({"width": widths, "height": heights, "decoder": decoders})
 
 
 def decode_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -170,12 +268,13 @@ def decode_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFram
 
     ``n_bytes`` and ``content_sha256`` are pure JVM expressions
     (``F.length`` / ``F.sha2`` — codegen'd, vectorized, no Python).
-    Width/height are REAL header decodes for PNG (IHDR u32-BE) and GIF
-    (logical-screen u16-LE) via fixed-offset JVM expressions —
-    ``decoder='header'`` — with only the variable-offset formats (JPEG)
-    falling to the Arrow-batched stub UDF, clearly labeled
-    ``decoder='stub'``. ONE projection, no extra join or shuffle; the UDF
-    is evaluated once (single ``__d`` struct column)."""
+    Width/height are REAL decodes for PNG (IHDR u32-BE) and GIF
+    (logical-screen u16-LE) via fixed-offset JVM expressions
+    (``decoder='header'``) and for JPEG via the variable-offset SOF-marker
+    walk in the Arrow-batched UDF (``decoder='sof-scan'``); only unknown
+    image formats fall to the clearly-labeled stub (``decoder='stub'``).
+    ONE projection, no extra join or shuffle; the UDF is evaluated once
+    (single ``__d`` struct column)."""
     from pyspark.sql.functions import pandas_udf
 
     from tag_spark.functions.parsing import gif_screen_dims, png_ihdr_dims

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tag_spark.generate import dim_role, dim_tool
-from tag_spark.operators.multimodal import decode_image_features, generate_assets, sample_frames, sniff_kind
+from tag_spark.operators.multimodal import decode_image_features, generate_assets, jpeg_sof_dims, sample_frames, sniff_kind
 from tag_spark.operators.suite import default_transcript_suite
 from tag_spark.sources.reader import SchemaMismatchError, dialect_histogram, read_transcripts
 from tag_spark.sources.sink import summary_matrix, violations_report_json, write_violations
@@ -56,10 +56,10 @@ def test_multimodal_roundtrip(spark):
     assets = generate_assets(spark, n=200, seed=42).cache()
     kinds = {r["kind"] for r in assets.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
-    # magic sniff agrees with declared kind (images alternate png/gif)
+    # magic sniff agrees with declared kind (images rotate png/gif/jpeg)
     sniffed = assets.withColumn("sniff", sniff_kind())
     bad = sniffed.filter(
-        ((F.col("kind") == "image") & (~F.col("sniff").isin("png", "gif")))
+        ((F.col("kind") == "image") & (~F.col("sniff").isin("png", "gif", "jpeg")))
         | ((F.col("kind") == "audio") & (F.col("sniff") != "wav"))
         | ((F.col("kind") == "video") & (F.col("sniff") != "mp4"))
     )
@@ -68,9 +68,12 @@ def test_multimodal_roundtrip(spark):
     assert feats.count() == 200
     img = feats.filter(F.col("kind") == "image")
     assert img.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
-    # PNG/GIF dims are REAL header decodes: every image row must report
-    # decoder='header' and recover the exact planted dimensions
-    assert img.filter(F.col("decoder") != "header").count() == 0
+    # every image dim is a REAL decode: fixed-offset JVM header parse for
+    # png/gif, variable-offset SOF-marker walk for jpeg — never the stub
+    img_dec = img.join(sniffed.select("asset_id", "sniff"), "asset_id")
+    assert img_dec.filter((F.col("sniff").isin("png", "gif")) & (F.col("decoder") != "header")).count() == 0
+    assert img_dec.filter((F.col("sniff") == "jpeg") & (F.col("decoder") != "sof-scan")).count() == 0
+    assert img_dec.filter(F.col("sniff") == "jpeg").count() > 0
     planted_w = (F.col("asset_id") % 1000 + 16).cast("int")
     planted_h = (F.col("asset_id") * 7 % 1000 + 16).cast("int")
     assert img.filter((F.col("width") != planted_w) | (F.col("height") != planted_h)).count() == 0
@@ -84,6 +87,40 @@ def test_multimodal_roundtrip(spark):
     per = frames.groupBy("asset_id").count()
     assert per.filter(F.col("count") > 4).count() == 0
     assert frames.count() > 0
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _sof_body(width: int, height: int) -> bytes:
+    return b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+
+
+def test_jpeg_sof_dims_marker_walk():
+    """The variable-offset SOF scan against hand-built marker streams,
+    including the spec's awkward corners (fill bytes, standalone markers,
+    progressive SOF2, DHT whose 0xC4 is NOT a frame header)."""
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    # baseline: SOI + COM + SOF0
+    assert jpeg_sof_dims(soi + _seg(0xFE, b"comment") + _seg(0xC0, _sof_body(640, 480)) + eoi) == (640, 480)
+    # multiple preceding segments of different lengths (APP0 JFIF + DQT)
+    jfif = _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes(65))
+    assert jpeg_sof_dims(soi + jfif + dqt + _seg(0xC2, _sof_body(31, 4097)) + eoi) == (31, 4097)  # progressive SOF2
+    # fill bytes (0xFF padding) before a marker are legal
+    assert jpeg_sof_dims(soi + b"\xff\xff\xff" + _seg(0xC0, _sof_body(8, 8)) + eoi)[0] == 8
+    # DHT (0xC4) must be skipped, not parsed as a frame header
+    assert jpeg_sof_dims(soi + _seg(0xC4, bytes(20)) + _seg(0xC1, _sof_body(100, 200)) + eoi) == (100, 200)
+    # standalone TEM marker (no length field) between segments
+    assert jpeg_sof_dims(soi + b"\xff\x01" + _seg(0xC0, _sof_body(5, 6)) + eoi) == (5, 6)
+    # rejects: not a JPEG, EOI before SOF, truncated SOF, desync, bad length
+    assert jpeg_sof_dims(b"GIF89a\x00\x00") is None
+    assert jpeg_sof_dims(soi + eoi + _seg(0xC0, _sof_body(1, 1))) is None
+    assert jpeg_sof_dims(soi + _seg(0xFE, b"c") + b"\xff\xc0\x00\x11\x08\x00") is None
+    assert jpeg_sof_dims(soi + b"junk" + _seg(0xC0, _sof_body(1, 1))) is None
+    assert jpeg_sof_dims(soi + b"\xff\xfe\x00\x01" + _seg(0xC0, _sof_body(1, 1))) is None
+    assert jpeg_sof_dims(b"") is None
 
 
 def test_jsonl_roundtrip_same_golden_digest(spark, transcripts, tmp_path):
