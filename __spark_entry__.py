@@ -1271,6 +1271,111 @@ FROM documents
 """
 
 
+_BM25_TERMS = ["hash", "merge", "window"]
+
+# The single tokenization definition (lowercase, whitespace split, empties
+# dropped) replayed by every relevance oracle below — identical to
+# relevance._tokens_col.
+_TOKS_SQL = r"list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '')"
+
+# BM25 CTE block shared by both relevance oracles (k1=1.2, b=0.75,
+# +1-smoothed idf, corpus = docs with >=1 token; every division forced to
+# DOUBLE — DuckDB decimal literals would otherwise divide at decimal scale)
+_BM25_CTES = f"""
+dl AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents
+),
+base AS (SELECT doc_id, dl FROM dl WHERE dl > 0),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({_TOKS_SQL}) AS t(term)
+  WHERE t.term IN ('hash', 'merge', 'window')
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+              / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(base.dl AS DOUBLE) / CAST(s.avgdl AS DOUBLE)))
+         ), 6) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN base ON base.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)"""
+
+
+def _bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval oracled end-to-end: one explode projection
+    with the query-term filter BEFORE the tf aggregation (the shuffle
+    carries only the query's postings), row-local document lengths,
+    broadcast scalar corpus stats, TakeOrderedAndProject top-k. The oracle
+    replays the full scoring formula (+1-smoothed idf, k1=1.2 b=0.75) in
+    SQL. Reference analog: selecting the matching frame while walking the
+    frame loop, id3v2.go:229-258."""
+    from tag_spark.operators.relevance import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+_BM25_TOPK_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 fused with exact-cosine top-50
+    (query = embedding of vec_id 0; vec_id keys documents 1:1) via
+    reciprocal-rank fusion, rrf(d) = sum 1/(60+rank). Both candidate lists
+    rank on their 6dp-rounded scores with doc_id tie-break — the oracle
+    replays ranking and fusion exactly."""
+    from tag_spark.operators.relevance import bm25_topk, ranked, rrf_fuse
+    from tag_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ranked(bm25_topk(docs, _BM25_TERMS, k=50), "bm25")
+    vec = ranked(cosine_topk(emb, _query_vec(spark, sf_dir), k=50), "cos_sim", id_col="vec_id")
+    return rrf_fuse([lex, vec], k=10)
+
+
+_HYBRID_RRF_SQL = f"""
+WITH {_BM25_CTES},
+bmtop AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50),
+bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bmtop),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+    round(
+      list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)^2)))
+       * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)^2)))), 6) AS cos_sim
+  FROM embeddings, q
+  ORDER BY cos_sim DESC, vec_id
+  LIMIT 50
+),
+cosrank AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank FROM cos),
+unioned AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS w FROM bmrank
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS w FROM cosrank
+)
+SELECT doc_id, round(sum(w), 6) AS rrf, count(*) AS n_lists
+FROM unioned
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 def _asset_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG dimension decode oracled (closes the last decode stub):
     documents become JPEG assets whose payloads are spec-conformant marker
@@ -1830,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_binary_profile": _asset_binary_profile,
         "asset_image_dims": _asset_image_dims,
         "asset_jpeg_dims": _asset_jpeg_dims,
+        "bm25_topk_docs": _bm25_topk_docs,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
         "asset_frames": _asset_frames,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
@@ -1943,6 +2050,11 @@ def oracle_sql() -> dict[str, str]:
         "asset_image_dims": _ASSET_IMAGE_DIMS_SQL,
         # planted-dims formula vs the variable-offset SOF marker walk
         "asset_jpeg_dims": _ASSET_JPEG_DIMS_SQL,
+        # full BM25 scoring formula replayed in SQL (shared tokenization)
+        "bm25_topk_docs": _BM25_TOPK_SQL,
+        # rank-then-fuse replay: both candidate lists rank on 6dp-rounded
+        # scores with doc_id tie-break, rrf = sum 1/(60+rank)
+        "hybrid_rrf_topk": _HYBRID_RRF_SQL,
         # mapInPandas frame fan-out vs substring-window chunking replay
         "asset_frames": _ASSET_FRAMES_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,
