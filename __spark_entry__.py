@@ -1331,6 +1331,24 @@ LIMIT 10
 """
 
 
+def _bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appendable inverted index: the corpus postings (doc_id % 10 != 0)
+    play a PERSISTED term_frequencies table; a new shard's postings are
+    built from its text alone and UNIONED on — corpus text is never
+    re-tokenized (the expensive scan at 100 TB). Scoring over the merged
+    postings must equal the full recompute, which is exactly what the
+    oracle (the same full-corpus SQL as bm25_topk_docs) checks — the same
+    incremental==full gate pattern as minhash_incremental_docs and
+    ivf_incremental_assign. Posting keys are disjoint across shards
+    (doc_id partitioned), so the union is a pure append."""
+    from tag_spark.operators.relevance import bm25_topk, term_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_tf = term_frequencies(docs.filter(F.col("doc_id") % 10 != 0))
+    shard_tf = term_frequencies(docs.filter(F.col("doc_id") % 10 == 0))
+    return bm25_topk(docs, _BM25_TERMS, k=10, tf=corpus_tf.unionByName(shard_tf))
+
+
 def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 fused with exact-cosine top-50
     (query = embedding of vec_id 0; vec_id keys documents 1:1) via
@@ -1373,6 +1391,191 @@ FROM unioned
 GROUP BY doc_id
 ORDER BY rrf DESC, doc_id
 LIMIT 10
+"""
+
+
+def _events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click event attributed to the
+    latest error event of the same user at or before its timestamp —
+    union-sort-fill, one shuffle on user_id, no row amplification. The
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so the semantics
+    (inclusive >=, per-key, latest-prior) are pinned against an
+    independent engine's implementation of the same operator, not a SQL
+    re-derivation. Duplicate (user_id, ts) error rows are collapsed to the
+    max event_id in both engines first (CLAUDE.md: deterministic tie-break
+    before any ordered carry). Reference analog: ID3v1 trailer resolution
+    — the LAST metadata block at or before EOF wins (id3v1.go:45-56)."""
+    from tag_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id", "value")
+    res = asof_join(clicks, errors, on="user_id", ts_col="ts", payload_cols=["event_id", "value"], tie_break="event_id")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("asof_event_id").alias("last_error_id"),
+        F.round(F.col("asof_value"), 6).alias("last_error_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+err0 AS (SELECT user_id, ts, max(event_id) AS eid FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+errs AS (SELECT e0.user_id, e0.ts, e0.eid, e.value FROM err0 e0 JOIN events e ON e.event_id = e0.eid)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       e.eid AS last_error_id, round(e.value, 6) AS last_error_value
+FROM clicks c ASOF LEFT JOIN errs e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def _pii_enriched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic PII fragments planted from doc_id (the
+    synthetic corpus itself contains none): each modulus class gets one
+    PII shape, so coverage spans every pattern, docs outside all classes
+    stay clean, and the oracle recomputes the identical enrichment."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pad4 = F.lpad(s(F.pmod(did, F.lit(10000))), 4, "0")
+    frag = lambda mod, *pieces: F.when(  # noqa: E731
+        F.pmod(did, F.lit(mod)) == 0, F.concat(*pieces)
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        F.col("text"),
+        frag(5, F.lit(" contact user"), s(did), F.lit("@example.com")),
+        frag(7, F.lit(" from 10."), s(F.pmod(did, F.lit(256))), F.lit(".0."), s(F.pmod(did, F.lit(100)))),
+        frag(11, F.lit(" ssn 123-45-"), pad4),
+        frag(13, F.lit(" card 4111 1111 1111 "), pad4),
+        frag(17, F.lit(" call +1 555 867 "), pad4),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def _doc_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screen over the enriched corpus (operators/pii.py): per-type
+    regexp counts + md5 of the fully-redacted text. Pure per-row JVM
+    regex — zero shuffles; the oracle replays the same RE2∩Java-safe
+    patterns with DuckDB regexp_extract_all / regexp_replace('g') and
+    must reproduce the redacted bytes exactly (md5 equality). Reference
+    analog: closed-vocabulary frame screening with quarantined unknowns
+    (id3v2.go:374-396)."""
+    from tag_spark.operators.pii import PII_PATTERNS, pii_profile
+
+    prof = pii_profile(_pii_enriched_docs(spark, sf_dir))
+    return prof.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        "n_pii",
+        F.col("has_pii").cast("int").alias("has_pii"),
+        "redacted_md5",
+    )
+
+
+def _pii_sql() -> str:
+    from tag_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}" for name, pat in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    redacted = "text"
+    for name, pat in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH enriched AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' call +1 555 867 ' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END
+    AS text
+  FROM documents
+), counts AS (
+  SELECT doc_id, text,
+       {counts}
+  FROM enriched
+)
+SELECT doc_id, {", ".join(f"n_{name}" for name, _ in PII_PATTERNS)},
+       CAST({total} AS BIGINT) AS n_pii,
+       CAST(({total}) > 0 AS INT) AS has_pii,
+       md5({redacted}) AS redacted_md5
+FROM counts
+"""
+
+
+def _doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (operators/text.py
+    repetition_profile): duplicate-word / top-word / top-bigram fractions
+    per document — two partial-aggregable groupBys on the same doc key,
+    bigram array built from zip-shifted slices and exploded once
+    (CLAUDE.md higher-order-lambda rule). Oracle recomputes all three
+    fractions from the shared tokenization."""
+    from tag_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+_DOC_REPETITION_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS n FROM (SELECT doc_id, unnest(w) AS word FROM docs) GROUP BY 1, 2
+), wm AS (
+  SELECT doc_id, sum(n) AS nw, count(*) AS nd, max(n) AS mxw FROM wc GROUP BY 1
+), bc AS (
+  SELECT doc_id, b, count(*) AS n FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+    FROM docs WHERE len(w) >= 2
+  ) GROUP BY 1, 2
+), bm AS (
+  SELECT doc_id, sum(n) AS nb, max(n) AS mxb FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(wm.nw, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(wm.nd, 0) AS BIGINT) AS n_distinct_words,
+       CASE WHEN coalesce(wm.nw, 0) > 0 THEN round(1.0 - wm.nd / wm.nw, 6) ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN coalesce(wm.nw, 0) > 0 THEN round(mxw / wm.nw, 6) ELSE 0.0 END AS top_word_frac,
+       CASE WHEN coalesce(bm.nb, 0) > 0 THEN round(mxb / bm.nb, 6) ELSE 0.0 END AS top_bigram_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN wm ON wm.doc_id = d.doc_id
+LEFT JOIN bm ON bm.doc_id = d.doc_id
+"""
+
+
+def _doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py contamination_check):
+    docs with doc_id % 11 == 0 play the eval set; corpus docs sharing any
+    4-word shingle with it are flagged with their overlap fraction (the
+    planted near-dups of eval docs read ~1.0, chance vocabulary overlaps
+    read low — k=4 keeps both regimes represented in this corpus). The
+    eval shingle set is broadcast; corpus text never shuffles."""
+    from tag_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.filter(F.pmod(F.col("doc_id"), F.lit(11)) != 0),
+        d.filter(F.pmod(F.col("doc_id"), F.lit(11)) == 0),
+        k=4,
+    )
+
+
+_DOC_CONTAMINATION_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) - 2), i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS s
+    FROM docs WHERE len(w) >= 4)
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 11 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 11 <> 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM corp JOIN bench USING (s) GROUP BY 1),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corp GROUP BY 1)
+SELECT h.doc_id, h.n_hits, z.n_shingles, round(h.n_hits / z.n_shingles, 6) AS contamination
+FROM hits h JOIN sizes z USING (doc_id)
 """
 
 
@@ -1936,7 +2139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_image_dims": _asset_image_dims,
         "asset_jpeg_dims": _asset_jpeg_dims,
         "bm25_topk_docs": _bm25_topk_docs,
+        "bm25_incremental_topk": _bm25_incremental_topk,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "events_asof_attribution": _events_asof_attribution,
+        "doc_pii_profile": _doc_pii_profile,
+        "doc_repetition_profile": _doc_repetition_profile,
+        "doc_contamination": _doc_contamination,
         "asset_frames": _asset_frames,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
@@ -2052,9 +2260,22 @@ def oracle_sql() -> dict[str, str]:
         "asset_jpeg_dims": _ASSET_JPEG_DIMS_SQL,
         # full BM25 scoring formula replayed in SQL (shared tokenization)
         "bm25_topk_docs": _BM25_TOPK_SQL,
+        # postings-append == full recompute (corpus text never re-read):
+        # the oracle is the SAME full-corpus replay, so any drift in the
+        # merged-index path hash-mismatches
+        "bm25_incremental_topk": _BM25_TOPK_SQL,
         # rank-then-fuse replay: both candidate lists rank on 6dp-rounded
         # scores with doc_id tie-break, rrf = sum 1/(60+rank)
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
+        # DuckDB's NATIVE ASOF LEFT JOIN pins the union-sort-fill engine
+        # against an independent implementation of the same operator
+        "events_asof_attribution": _EVENTS_ASOF_SQL,
+        # identical RE2-and-Java-safe regexes; redacted bytes must md5-match
+        "doc_pii_profile": _pii_sql(),
+        # shared tokenization; all three fractions recomputed at 6dp
+        "doc_repetition_profile": _DOC_REPETITION_SQL,
+        # broadcast eval shingle screen replayed via equi-join on 4-grams
+        "doc_contamination": _DOC_CONTAMINATION_SQL,
         # mapInPandas frame fan-out vs substring-window chunking replay
         "asset_frames": _ASSET_FRAMES_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,

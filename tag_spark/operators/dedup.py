@@ -782,3 +782,51 @@ def neardup_clusters_incremental(
     all_ids = stored_labels_df.select(id_col).unionByName(new_ids_df.select(id_col)).distinct()
     pairs = new_pairs_df.select(id_a, id_b).unionByName(star_edges)
     return neardup_clusters(all_ids, pairs, id_col, id_a, id_b, max_rounds, checkpoint_dir, stats_out)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    k-word shingle with a benchmark/eval set (the Lee et al. 2021 /
+    GPT-3-appendix n-gram overlap screen, public). Returns one row per
+    CONTAMINATED corpus doc: (doc_id, n_hits = distinct overlapping
+    shingles, n_shingles = the doc's distinct shingles, contamination =
+    round(n_hits/n_shingles, 6)).
+
+    Reference semantics analog: membership screening of each frame id
+    against a closed dictionary (id3v2frames.go:283-287 registry lookup) —
+    here the "dictionary" is the benchmark's shingle set.
+
+    Scale shape (100 TB corpus, MB-scale eval set — the real-world
+    asymmetry): the benchmark shingle set is DISTINCT-ed and broadcast, so
+    corpus shingles are screened map-side with no shuffle of corpus text;
+    the only exchange is the per-doc hit count (partial-aggregable, keyed
+    by doc_id). n_shingles is computed ROW-LOCALLY (array size) — the
+    corpus-wide shingle stream is never shuffled.
+    """
+    bench = benchmark.select(F.explode(word_shingles(text_col, k)).alias("s")).distinct()
+    sizes = corpus.select(
+        F.col(id_col).alias("doc_id"), F.size(word_shingles(text_col, k)).alias("n_shingles")
+    )
+    hits = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, k)).alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
+    )

@@ -160,6 +160,62 @@ def rolling_hash_64(col: Column | str) -> Column:
     return pandas_udf(_rolling_hash_batch, "long")(F.col(col) if isinstance(col, str) else col)
 
 
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics — the Gopher/MassiveText-style
+    quality filters (Rae et al. 2021 §A1.1, public) over word-soup text
+    with no line structure: duplicate-word fraction, most-frequent-word
+    fraction, and most-frequent-bigram fraction. High values flag
+    boilerplate and degenerate generations for training-data curation.
+
+    Shape (100 TB): tokenization is one row-local array projection; the
+    bigram array is built from zip-shifted slices and exploded ONCE
+    (CLAUDE.md: never fan a computed array into N interpreted lambda
+    consumers), then everything is two partial-aggregable groupBys keyed
+    by (doc, gram) → doc — the same shuffle key, so AQE coalesces them
+    onto one exchange footprint. No window, no Python.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+
+    def gram_stats(grams_df: DataFrame, out_prefix: str) -> DataFrame:
+        counts = grams_df.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+        return counts.groupBy("doc_id").agg(
+            F.sum("n").alias(f"{out_prefix}_total"),
+            F.count(F.lit(1)).alias(f"{out_prefix}_distinct"),
+            F.max("n").alias(f"{out_prefix}_top"),
+        )
+
+    wstats = gram_stats(base.select("doc_id", F.explode("__w").alias("g")), "w")
+    # bigrams: zip the array with its shift-by-one; valid while the SECOND
+    # word exists (arrays_zip pads the shorter slice with nulls)
+    zipped = F.arrays_zip(F.col("__w"), F.slice(F.col("__w"), 2, 1 << 30).alias("__w2"))
+    bigrams = F.array_compact(
+        F.transform(zipped, lambda s: F.when(s["__w2"].isNotNull(), F.concat_ws(" ", s["__w"], s["__w2"])))
+    )
+    bstats = gram_stats(
+        base.select("doc_id", F.explode(bigrams).alias("g")), "b"
+    )
+
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(wstats, "doc_id", "left").join(bstats, "doc_id", "left")
+    nw = F.coalesce(F.col("w_total"), F.lit(0))
+    nb = F.coalesce(F.col("b_total"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.coalesce(F.col("w_distinct"), F.lit(0)).alias("n_distinct_words"),
+        F.when(nw > 0, F.round(F.lit(1.0) - F.col("w_distinct") / nw, 6)).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(nw > 0, F.round(F.col("w_top") / nw, 6)).otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nb > 0, F.round(F.col("b_top") / nb, 6)).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: tokens, quality, language, fingerprint."""
     c = F.col(text_col)
