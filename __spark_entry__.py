@@ -1579,6 +1579,76 @@ FROM hits h JOIN sizes z USING (doc_id)
 """
 
 
+def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (operators/sessions.py): per-user
+    sessions split on >30 min silence, aggregated to (count, start, end,
+    duration). ONE window spec drives both the lag and the boundary
+    running-sum (single Exchange + Sort; event_id tie-break per
+    CLAUDE.md), and the gap test is integer-microsecond exact. The batch
+    twin of the streaming stateful session tracker. Reference analog:
+    OGG packet reassembly splitting a per-serial stream on lacing-value
+    boundaries (ogg.go:104-133)."""
+    from tag_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key_col="user_id", ts_col="ts", gap_seconds=1800, tie_break="event_id")
+
+
+_EVENTS_SESSIONIZATION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 THEN 1 ELSE 0 END AS nb
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
+def _events_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/sessions.py range_join_binned): for
+    each event, the number of OTHER events by the same user within the
+    following hour (follow-on activity). The engine buckets both sides
+    into W-second epoch bins so the interval join becomes an EQUI-join on
+    (key, bin) with exactly-2x left amplification — never the per-key
+    cross product a naive theta join plans. The oracle replays the raw
+    inequality join (fine at sf0.01; the whole point is that the engine's
+    plan does NOT)."""
+    from tag_spark.operators.sessions import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "event_id")
+    j = range_join_binned(left, right, on="user_id", window_seconds=3600)
+    return (
+        j.filter(F.col("r_event_id") != F.col("event_id"))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_followups_1h"))
+    )
+
+
+# NOTE: the microsecond window is a precomputed literal — DuckDB evaluates
+# 3600 * 1000000 in INT32 and overflows
+_EVENTS_RANGE_JOIN_SQL = """
+SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_followups_1h
+FROM events e
+JOIN events c ON c.user_id = e.user_id AND c.event_id <> e.event_id
+  AND epoch_us(c.ts) >= epoch_us(e.ts)
+  AND epoch_us(c.ts) <= epoch_us(e.ts) + 3600000000
+GROUP BY 1, 2
+"""
+
+
 def _asset_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG dimension decode oracled (closes the last decode stub):
     documents become JPEG assets whose payloads are spec-conformant marker
@@ -2145,6 +2215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_profile": _doc_pii_profile,
         "doc_repetition_profile": _doc_repetition_profile,
         "doc_contamination": _doc_contamination,
+        "events_sessionization": _events_sessionization,
+        "events_range_join_counts": _events_range_join_counts,
         "asset_frames": _asset_frames,
         "stats_quantiles_exact": _stats_quantiles_exact,
         "events_drift_check": _events_drift_check,
@@ -2276,6 +2348,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_profile": _DOC_REPETITION_SQL,
         # broadcast eval shingle screen replayed via equi-join on 4-grams
         "doc_contamination": _DOC_CONTAMINATION_SQL,
+        # same window replay, integer-us gap test, shared (ts, event_id) order
+        "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
+        # raw inequality join replays what the binned equi-join computes
+        "events_range_join_counts": _EVENTS_RANGE_JOIN_SQL,
         # mapInPandas frame fan-out vs substring-window chunking replay
         "asset_frames": _ASSET_FRAMES_SQL,
         "stats_quantiles_exact": _STATS_QUANTILES_SQL,

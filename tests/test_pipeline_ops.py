@@ -207,3 +207,103 @@ def test_contamination_check(spark):
     assert got[1]["n_hits"] == 1 and got[1]["n_shingles"] == 5
     plan = contamination_check(corpus, bench, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the eval set is the broadcast side
+
+
+# ---------------------------------------------------------------------------
+# sessionization + binned range join
+# ---------------------------------------------------------------------------
+
+from tag_spark.operators.sessions import range_join_binned, session_stats, sessionize  # noqa: E402
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        # user 1: 3 events, gap of exactly 1800s (NOT a boundary: > only),
+        # then 1801s (boundary)
+        Row(user_id=1, event_id=1, ts=_ts("2024-01-01 00:00:00")),
+        Row(user_id=1, event_id=2, ts=_ts("2024-01-01 00:30:00")),  # +1800s: same session
+        Row(user_id=1, event_id=3, ts=_ts("2024-01-01 01:00:01")),  # +1801s: new session
+        # user 2: duplicate ts rows stay deterministic via event_id order
+        Row(user_id=2, event_id=4, ts=_ts("2024-01-01 00:00:00")),
+        Row(user_id=2, event_id=5, ts=_ts("2024-01-01 00:00:00")),
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=1800, tie_break="event_id")
+    got = {r["event_id"]: (r["session_idx"], r["session_id"]) for r in out.collect()}
+    assert got[1] == (0, "1#0") and got[2] == (0, "1#0")
+    assert got[3] == (1, "1#1")
+    assert got[4] == (0, "2#0") and got[5] == (0, "2#0")
+
+
+def test_sessionize_single_sort(spark):
+    rows = [Row(user_id=1, event_id=i, ts=_ts(f"2024-01-01 00:00:{i:02d}")) for i in range(5)]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=10, tie_break="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum share one window spec -> exactly one Sort
+    assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1
+    assert plan.count("Exchange") <= 1 + plan.count("Exchange SinglePartition")
+
+
+def test_session_stats(spark):
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts("2024-01-01 00:00:00")),
+        Row(user_id=1, event_id=2, ts=_ts("2024-01-01 00:10:00")),
+        Row(user_id=1, event_id=3, ts=_ts("2024-01-01 02:00:00")),
+    ]
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(spark.createDataFrame(rows), gap_seconds=1800, tie_break="event_id").collect()
+    }
+    assert got == {(1, 0): (2, 600.0), (1, 1): (1, 0.0)}
+
+
+def test_range_join_binned_matches_naive(spark):
+    # window 60s; right events placed same-bin, next-bin-within-window,
+    # next-bin-outside-window, before-left, and other-key
+    left = spark.createDataFrame([Row(user_id=1, lid=0, ts=_ts("2024-01-01 00:00:50"))])
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, rid=0, ts=_ts("2024-01-01 00:00:55")),  # same bin, in window
+            Row(user_id=1, rid=1, ts=_ts("2024-01-01 00:01:30")),  # next bin, in window (40s later)
+            Row(user_id=1, rid=2, ts=_ts("2024-01-01 00:01:50")),  # exactly +60s: inclusive
+            Row(user_id=1, rid=3, ts=_ts("2024-01-01 00:01:51")),  # +61s: out
+            Row(user_id=1, rid=4, ts=_ts("2024-01-01 00:00:40")),  # before left: out
+            Row(user_id=2, rid=5, ts=_ts("2024-01-01 00:00:55")),  # other key: out
+        ]
+    )
+    out = range_join_binned(left, right, on="user_id", window_seconds=60)
+    assert sorted(r["r_rid"] for r in out.collect()) == [0, 1, 2]
+    # a left row is never duplicated per matching right row beyond the match itself
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_binned_matches_naive_bulk(spark, transcripts):
+    """Randomized-ish (deterministic-generator) cross-check vs the naive
+    O(n^2) join on a few hundred rows."""
+    ev = (
+        transcripts.select(
+            (F.xxhash64("conv_id") % 4).alias("k"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("turn_idx").alias("eid"),
+        )
+        .filter(F.col("ts").isNotNull())
+        .limit(300)
+        .cache()
+    )
+    left = ev.select("k", "ts", F.col("eid").alias("lid"))
+    right = ev.select("k", "ts", F.col("eid").alias("rid"))
+    w = 3600
+    fast = range_join_binned(left, right, on="k", window_seconds=w).select("k", "lid", "r_rid", "r_ts")
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.unix_micros(F.col("r.ts")) <= F.unix_micros(F.col("l.ts")) + w * 1_000_000),
+        )
+        .select(F.col("l.k"), F.col("l.lid"), F.col("r.rid").alias("r_rid"), F.col("r.ts").alias("r_ts"))
+    )
+    assert fast.count() == naive.count()
+    assert fast.exceptAll(naive).count() == 0 and naive.exceptAll(fast).count() == 0
