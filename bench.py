@@ -535,7 +535,10 @@ def main() -> int:
     # resample loop runs last with its own budget floor.
     # Trimmed cost: timed runs double as recall ground truth, corpus + IVF
     # index persist in /tmp across rounds.
-    skip_200k = elapsed() > 700
+    # the corpus + both indexes persist in /tmp across rounds, so on any
+    # box that has run once the block costs ~60-90s; shed only when even
+    # that cannot fit ahead of the mandatory repair + gate-loop tail
+    skip_200k = elapsed() > 750
     ivf256_build = None
     ann_recall = None
     if not skip_200k:
@@ -602,7 +605,7 @@ def main() -> int:
         exact_set = timed_pairs("ann_exact_batch67_200k", lambda: cosine_topk_batch(bigv, batch_q, k=10))
         lsh_set = timed_pairs("ann_lsh_batch67_200k", lambda: big_lsh.topk_batch(batch_q, k=10))
         ivf_set = timed_pairs("ann_ivf_batch67_200k", lambda: big_ivf.topk_batch(batch_q, k=10, nprobe=4))
-        if timings["ann_ivf_batch67_200k"] >= timings["ann_lsh_batch67_200k"] and elapsed() < 800:
+        if timings["ann_ivf_batch67_200k"] >= timings["ann_lsh_batch67_200k"] and elapsed() < 810:
             # a single-sample inversion (IVF reading slower than LSH) on
             # this VM is almost always steal noise — one best-of retry for
             # ALL THREE paths under the SAME action (collect, matching the
@@ -671,14 +674,26 @@ def main() -> int:
         # budget floor: the JSON line must ALWAYS be emitted — 8c/2c
         # samples cost ~35-75s calm, so stop admitting new samples past
         # these marks (32c is costlier to warm, earlier mark)
-        while not gate_calm() and elapsed() < 990:
-            # the PAIR, volatile side first; slow-2c fakes a FAIL and
-            # fast-8c fakes a PASS, so both are re-sampled, never trusted
+        while not gate_calm() and elapsed() < 930:
+            # the PAIR — both levels re-sampled, never trusted (slow-2c
+            # fakes a PASS via the ratio, slow-8c fakes a FAIL) — ordered
+            # by each level's deficit vs its controlled-grid rate, so the
+            # most-implicated level gets the next calm window first (the
+            # v4.2 sf0.1 dress run burned its budget on a near-calm 8c
+            # while 2c sat at 0.62x grid)
             order = [8, 2]
+            if _grid_bucketed is not None:
+                def _deficit(c: int) -> float:
+                    if c not in times:
+                        return 1e9  # never sampled: most urgent
+                    rate = SCALE_REPS * n_turns / times[c]
+                    return 1.0 - rate / _grid_bucketed["levels"][f"local{c}"]["turns_per_sec"]
+
+                order.sort(key=_deficit, reverse=True)
             if 32 in times and 8 in times and times[32] > times[8]:
                 order.insert(1, 32)  # inversion: the 32c window was poisoned
             for c in order:
-                if elapsed() > (990 if c != 32 else 950):
+                if elapsed() > (930 if c != 32 else 890):
                     break
                 t = suite_time_at(c, warm=True)
                 times[c] = min(times.get(c, 9e9), t)
@@ -710,7 +725,7 @@ def main() -> int:
         if needs:
             late_runners = make_runners(spark)
             for q in needs:
-                if elapsed() > 880:
+                if elapsed() > 840:
                     break
                 fn = late_runners[q]
                 fn()  # warm: this session never compiled the plan
@@ -767,6 +782,9 @@ def main() -> int:
     }
     spark.stop()
     out["scaling"] = scaling
+    # total wall including staging/scaling/repair — the budget-mark
+    # calibration number for future rounds (value above is query-sum only)
+    out["wall_s"] = round(elapsed(), 1)
 
     print(json.dumps(out))
     return 0
