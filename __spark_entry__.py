@@ -306,6 +306,65 @@ FROM t
 """
 
 
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 64 / stride 48) — the RAG /
+    long-context split step, frame-loop analog (id3v2.go:319-344: one
+    payload sliced into bounded frames). The engine explodes words ONCE and
+    reassembles chunks in one partial-aggregable groupBy (no per-chunk
+    re-split — CLAUDE.md's CollapseProject rule); the oracle rebuilds every
+    chunk independently with DuckDB list slicing."""
+    from tag_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(len(list_slice(w, k * 48 + 1, k * 48 + 64)) AS BIGINT) AS n_tokens,
+       md5(list_aggregate(list_slice(w, k * 48 + 1, k * 48 + 64), 'string_agg', ' ')) AS chunk_md5
+FROM docs, unnest(range(0, CAST(ceil(len(w) / 48.0) AS BIGINT))) AS t(k)
+"""
+
+
+def _doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: each doc's global token offset and the
+    first/last 2048-token training sequence it lands in under concat-then-
+    cut in doc_id order (byte-offset bookkeeping analog, id3v2.go:319-330).
+    The engine computes the global prefix sum WITHOUT a single-partition
+    sort (range buckets + bounded driver collect of per-bucket totals +
+    per-bucket window); the oracle is the plain global window cumsum the
+    two-phase plan must equal by construction."""
+    from tag_spark.operators.packing import pack_token_stream
+
+    return pack_token_stream(_t(spark, sf_dir, "documents"), budget=2048, n_buckets=64)
+
+
+_DOC_PACK_OFFSETS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM t)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS token_offset,
+       CAST(off // 2048 AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n > 0 THEN (off + n - 1) // 2048 ELSE off // 2048 END AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n > 0 THEN (off + n - 1) // 2048 - off // 2048 + 1 ELSE 0 END AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
 def _events_as_transcripts_sql(ts_kw: str) -> str:
     """Transcript view derived from the events table by expressions BOTH
     engines evaluate identically (row_number over the unique event_id,
@@ -2192,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_hash_sample_stats": _doc_hash_sample_stats,
         "embedding_quantized_stats": _embedding_quantized_stats,
+        "doc_chunks": _doc_chunks,
+        "doc_pack_offsets": _doc_pack_offsets,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_neardup_clusters": _doc_neardup_clusters,
         "doc_clusters_incremental": _doc_clusters_incremental,
@@ -2295,6 +2356,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
         "doc_hash_sample_stats": _DOC_HASH_SAMPLE_SQL,
         "embedding_quantized_stats": _EMBEDDING_QUANTIZED_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "doc_pack_offsets": _DOC_PACK_OFFSETS_SQL,
         "doc_jaccard_pairs": _DOC_JACCARD_SQL,
         # connected components replayed as a recursive CTE — min reachable
         # id per doc == the engine's min-label fixpoint
