@@ -49,3 +49,30 @@ def test_scan_column_pruning_and_filter_pushdown(spark):
     plan = _plan(q)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan, plan
+
+
+def test_chunking_splits_text_once(spark):
+    """chunk_documents must not fan the computed words array into per-chunk
+    re-splits (CLAUDE.md CollapseProject rule): the plan carries exactly one
+    split() of the text column, and ONE fact exchange (the doc,chunk
+    groupBy)."""
+    from tag_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(chunk_documents(d))
+    assert plan.count("split(") == 1, f"text re-split per consumer:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_packing_no_global_single_partition_sort(spark):
+    """pack_token_stream's prefix sum must stay bucket-parallel: no
+    single-partition Exchange feeding the window sort, and the bucket
+    prefix table joins as a broadcast."""
+    from tag_spark.operators.packing import pack_token_stream
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_token_stream(d, n_buckets=16))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the one fact exchange is the bucket repartition for the window
+    assert plan.count("Exchange hashpartitioning(__b") == 1, plan
