@@ -51,8 +51,13 @@ ANCHORS = {
     "dedup_minhash_lsh": 2.327,
     "dedup_simhash": 1.554,
     "dedup_clusters": 7.439,
-    "relevance_bm25": 0.682,
-    "relevance_hybrid_rrf": 1.132,
+    "relevance_bm25": 0.535,
+    "relevance_hybrid_rrf": 0.791,
+    "asof_attribution": 0.458,
+    "sessionization": 0.429,
+    "pii_profile": 0.684,
+    "doc_chunks": 0.909,
+    "doc_pack": 0.874,
     "ann_exact_topk": 0.216,
     "ann_lsh_topk": 0.234,
     "ann_ivf_topk": 0.155,
@@ -82,6 +87,11 @@ REPAIRABLE = [
     "dedup_clusters",
     "relevance_bm25",
     "relevance_hybrid_rrf",
+    "asof_attribution",
+    "sessionization",
+    "pii_profile",
+    "doc_chunks",
+    "doc_pack",
 ]
 
 
@@ -196,6 +206,13 @@ def main() -> int:
         from tag_spark.operators.similarity import cosine_topk
         from tag_spark.operators.text import profile_documents
 
+        # round-5 pipeline families benched as the EXACT driver-gate
+        # definitions (one definition, gate + bench — same reuse rule as
+        # the repair runners)
+        import __spark_entry__ as gate
+
+        GQ = gate.queries()
+
         tr = s.read.parquet(tpath)
         ev = s.read.parquet(f"{SF_DIR}/events.parquet")
         li = s.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -255,6 +272,11 @@ def main() -> int:
                     k=10,
                 )
             ),
+            "asof_attribution": lambda: force(GQ["events_asof_attribution"](s, SF_DIR)),
+            "sessionization": lambda: force(GQ["events_sessionization"](s, SF_DIR)),
+            "pii_profile": lambda: force(GQ["doc_pii_profile"](s, SF_DIR)),
+            "doc_chunks": lambda: force(GQ["doc_chunks"](s, SF_DIR)),
+            "doc_pack": lambda: force(GQ["doc_pack_offsets"](s, SF_DIR)),
         }
 
     # --- north-rule scaling evidence, re-measured EVERY round: the same
@@ -493,7 +515,7 @@ def main() -> int:
     bench("transcript_suite", runners["transcript_suite"], attempts=3)  # headline: extra steal resistance
     runners["transcript_suite_bucketed"]()  # warmup
     bench("transcript_suite_bucketed", runners["transcript_suite_bucketed"])
-    for q in ("events_suite", "lineitem_suite", "q1_pricing", "stats_arrow", "drift_check", "text_profile", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "relevance_bm25", "relevance_hybrid_rrf"):
+    for q in ("events_suite", "lineitem_suite", "q1_pricing", "stats_arrow", "drift_check", "text_profile", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "relevance_bm25", "relevance_hybrid_rrf", "asof_attribution", "sessionization", "pii_profile", "doc_chunks", "doc_pack"):
         bench(q, runners[q])
     bench("dedup_clusters", runners["dedup_clusters"], attempts=1)
 
