@@ -1330,6 +1330,69 @@ FROM documents
 """
 
 
+def _asset_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize kernel oracled end-to-end (completes the brief's
+    multimodal quartet: decode / feature-extract / RESIZE / frame-sample):
+    documents become RAW1 uncompressed bitmaps (deterministic 4-16 x 4-14
+    grayscale, pixel bytes = the ASCII md5-hex stream of doc_id — ASCII so
+    the SQL oracle can rebuild the exact bytes), resized to 6x5 by the
+    numpy nearest-neighbor gather inside the Arrow-batched mapInPandas
+    kernel (multimodal.resize_raw). The oracle re-derives every output
+    pixel independently with the integer index rule src=(y*h//out_h,
+    x*w//out_w) via substr gathers and must md5-match byte-for-byte — a
+    real kernel-math check, not plumbing-only. Up- AND down-sampling both
+    occur (sources span 4..16 wide vs the 6x5 target). Reference analog:
+    opaque Picture payload + typed metadata, id3v2frames.go:545-551."""
+    from tag_spark.operators.multimodal import raw_bitmap_payload, resize_raw
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.pmod(F.col("doc_id"), F.lit(13)) + 4).cast("int")
+    h = (F.pmod(F.col("doc_id") * 7, F.lit(11)) + 4).cast("int")
+    npix = (w * h).cast("int")
+    hexs = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("rawpix")))
+    pix = F.substring(F.repeat(hexs, F.ceil(npix / F.lit(32.0)).cast("int")), F.lit(1), npix)
+    src = d.select(F.col("doc_id").alias("asset_id"), raw_bitmap_payload(w, h, pix).alias("payload"))
+    out = resize_raw(src, out_w=6, out_h=5)
+    return out.select(
+        "asset_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        F.md5(F.col("resized")).alias("resized_md5"),
+        "resizer",
+    )
+
+
+_ASSET_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST((doc_id * 7) % 11 + 4 AS INT) AS h
+  FROM documents),
+src AS (
+  SELECT doc_id, w, h,
+         substr(repeat(md5(CAST(doc_id AS STRING) || 'rawpix'),
+                       CAST(ceil(w * h / 32.0) AS INT)),
+                1, w * h) AS p
+  FROM dims)
+SELECT doc_id AS asset_id,
+       w AS src_width,
+       h AS src_height,
+       CAST(6 AS INT) AS out_width,
+       CAST(5 AS INT) AS out_height,
+       md5(list_aggregate(
+             list_transform(range(0, 30),
+               i -> substr(p,
+                           CAST((((i // 6) * h) // 5) * w
+                                + (((i % 6) * w) // 6) + 1 AS INT),
+                           1)),
+             'string_agg', '')) AS resized_md5,
+       'numpy-nn' AS resizer
+FROM src
+"""
+
+
 _BM25_TERMS = ["hash", "merge", "window"]
 
 # The single tokenization definition (lowercase, whitespace split, empties
@@ -2268,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_incremental_assign": _ivf_incremental_assign,
         "asset_binary_profile": _asset_binary_profile,
         "asset_image_dims": _asset_image_dims,
+        "asset_resize": _asset_resize,
         "asset_jpeg_dims": _asset_jpeg_dims,
         "bm25_topk_docs": _bm25_topk_docs,
         "bm25_incremental_topk": _bm25_incremental_topk,
@@ -2391,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "asset_binary_profile": _ASSET_BINARY_PROFILE_SQL,
         # planted-dims formula vs the real byte-level header parse
         "asset_image_dims": _ASSET_IMAGE_DIMS_SQL,
+        "asset_resize": _ASSET_RESIZE_SQL,
         # planted-dims formula vs the variable-offset SOF marker walk
         "asset_jpeg_dims": _ASSET_JPEG_DIMS_SQL,
         # full BM25 scoring formula replayed in SQL (shared tokenization)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -342,3 +343,79 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.filter(F.col("kind").isin("video", "audio")).select("asset_id", "payload").mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize (real nearest-neighbor math, zero decode dependencies)
+# ---------------------------------------------------------------------------
+
+# RAW1: the deterministic uncompressed bitmap container used to exercise a
+# REAL resize kernel without PIL/ffmpeg (which this container lacks):
+#   magic "RAW1" | width u16-BE | height u16-BE | channels u8 | row-major
+#   width*height*channels pixel bytes.
+# Compressed formats (png/gif/jpeg) would need a real decoder to resize, so
+# they fall to the clearly-labeled stub row — same honesty policy as
+# _decode_batch. Reference analog: the reference stores Picture payloads
+# opaquely and exposes typed metadata around them (id3v2frames.go:545-551);
+# RAW1 is that shape with the pixels made arithmetically checkable.
+RAW_MAGIC = b"RAW1"
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resizer", T.StringType(), False),  # 'numpy-nn' | 'stub'
+    ]
+)
+
+
+def raw_bitmap_payload(width, height, pix_ascii) -> "F.Column":
+    """RAW1 container from pure JVM expressions. ``pix_ascii`` must be an
+    ASCII string column of exactly width*height chars (1 channel) — ASCII
+    because SQL oracles rebuild these bytes with VARCHAR functions
+    (CLAUDE.md: DuckDB digests are VARCHAR-only)."""
+    return F.concat(
+        F.lit(RAW_MAGIC),
+        _u16be_bytes(width),
+        _u16be_bytes(height),
+        F.lit(b"\x01"),
+        F.encode(pix_ascii, "UTF-8"),
+    )
+
+
+def resize_raw(df: DataFrame, out_w: int = 6, out_h: int = 5) -> DataFrame:
+    """Nearest-neighbor resize of RAW1 bitmaps to (out_w, out_h) — the
+    resize stage of a multimodal pipeline with REAL kernel math and real
+    Spark plumbing (Arrow-batched mapInPandas over binary payloads; per
+    image one numpy gather, never per-pixel Python).
+
+    Index rule (must match any independent replay exactly): output pixel
+    (y, x) takes source pixel (floor(y*h/out_h), floor(x*w/out_w)) —
+    integer arithmetic, exact in every engine. Non-RAW1 payloads emit a
+    stub row (nulls + resizer='stub'): resizing a compressed format needs
+    a real decoder, which this container does not have."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = np.arange(out_h, dtype=np.int64)
+        xs = np.arange(out_w, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if len(b) < 9 or b[:4] != RAW_MAGIC:
+                    rows.append((aid, None, None, None, None, None, "stub"))
+                    continue
+                w = (b[4] << 8) | b[5]
+                h = (b[6] << 8) | b[7]
+                c = b[8]
+                pix = np.frombuffer(b, dtype=np.uint8, count=w * h * c, offset=9)
+                src = pix.reshape(h, w, c)
+                out = src[(ys * h) // out_h][:, (xs * w) // out_w]
+                rows.append((aid, w, h, out_w, out_h, out.tobytes(), "numpy-nn"))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
