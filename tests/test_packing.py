@@ -82,3 +82,31 @@ def test_pack_empty_table(spark):
     out = pack_token_stream(df)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "token_offset", "first_seq", "last_seq", "n_seqs"]
+
+
+def test_chunk_documents_large_doc_no_blowup(spark):
+    """A single 60k-token document (1250 chunks at stride 48) must chunk
+    correctly — the shape where a per-chunk re-split of the words array
+    (the CollapseProject trap pinned in test_plans) would go quadratic.
+    Spot-check count plus first/boundary/last chunk digests against the
+    Python replay instead of materializing all 1250 tuples twice."""
+    n = 60_000
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=64, stride=48)
+    rows = {r["chunk_idx"]: r for r in out.collect()}
+    exp = {c[1]: c for c in py_chunks([(0, text)], 64, 48)}
+    assert len(rows) == len(exp) == (n + 47) // 48
+    for k in (0, 1, len(exp) - 2, len(exp) - 1):
+        r = rows[k]
+        assert (r["n_tokens"], r["chunk_md5"]) == (exp[k][2], exp[k][3])
+
+
+def test_pack_token_stream_hub_bucket_skew(spark):
+    """Every doc crowding into one range bucket (ids 0..199 with
+    n_buckets=64 but a giant id forcing the span) must still produce the
+    exact global cumsum — the skew shape where one bucket holds ~all rows."""
+    docs = [(i, "w " * (i % 7)) for i in range(200)] + [(10_000_000, "tail doc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in pack_token_stream(df, budget=64, n_buckets=64).collect())
+    assert got == py_pack(docs, 64)
