@@ -697,14 +697,21 @@ def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_PROFILE_SQL = r"""
 WITH base AS (
-  SELECT doc_id, text,
-         ' ' || text || ' ' AS padded,
+  -- quality/lang/fingerprint coalesce NULL text to '' exactly like the
+  -- engine (text.py quality_score/lang_scores/md5_fingerprint); without
+  -- the coalesce, DuckDB's NULL-skipping least() scores a NULL doc 0.4
+  -- and md5(NULL) is NULL — a parity break the generated-corpus fuzz
+  -- (tests/test_oracle_fuzz.py) caught that the NULL-free driver
+  -- testdata never exercises. n_tokens stays NULL-in-NULL-out (engine
+  -- token_count semantics).
+  SELECT doc_id, coalesce(text, '') AS ctext,
+         ' ' || coalesce(text, '') || ' ' AS padded,
          CASE WHEN text IS NULL THEN NULL
               WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
   FROM documents
 ), scored AS (
-  SELECT doc_id, text, n_tokens,
+  SELECT doc_id, ctext, n_tokens,
     CAST((length(padded)-length(replace(padded,' the ','')))/5
        + (length(padded)-length(replace(padded,' and ','')))/5
        + (length(padded)-length(replace(padded,' of ','')))/4 AS BIGINT) AS s_en,
@@ -722,9 +729,9 @@ WITH base AS (
 )
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
-  round(0.4*least(length(text)/1000.0, 1.0)
-      + 0.3*(CASE WHEN length(text) > 0
-                  THEN length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))*1.0/length(text)
+  round(0.4*least(length(ctext)/1000.0, 1.0)
+      + 0.3*(CASE WHEN length(ctext) > 0
+                  THEN length(regexp_replace(ctext,'[^a-zA-Z0-9 ]','','g'))*1.0/length(ctext)
                   ELSE 0 END)
       + 0.3*least(coalesce(n_tokens,0)/200.0, 1.0), 6) AS quality,
   CASE WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
@@ -733,7 +740,7 @@ SELECT doc_id,
        WHEN s_es > 0 AND s_es >= s_zh AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
        WHEN s_fr > 0 AND s_fr >= s_zh AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
        ELSE 'und' END AS lang_guess,
-  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9\s]','','g'),'\s+',' ','g'))) AS fingerprint
+  md5(trim(regexp_replace(regexp_replace(lower(ctext),'[^a-z0-9\s]','','g'),'\s+',' ','g'))) AS fingerprint
 FROM scored
 """
 

@@ -40,6 +40,11 @@ def _corpus(seed: int, n: int = 40) -> list[tuple[int, str | None]]:
             pad_l = rng.choice(["", " ", "\n "])
             pad_r = rng.choice(["", " ", "\t"])
             docs.append((i * 3, pad_l + body + pad_r))
+    # guaranteed exact duplicates so dedup summaries exercise the dup arm
+    texts = [t for _, t in docs if t]
+    if texts:
+        docs.append((docs[-1][0] + 1, texts[0]))
+        docs.append((docs[-1][0] + 1, texts[0]))
     return docs
 
 
@@ -91,3 +96,16 @@ def test_doc_pack_offsets_oracle_holds_on_generated_corpora(spark, tmp_path):
 def test_doc_token_totals_oracle_holds_on_generated_corpora(spark, tmp_path):
     for seed in (21, 22):
         _check_query(spark, tmp_path, seed, "doc_token_totals")
+
+
+def test_doc_profile_oracle_holds_on_generated_corpora(spark, tmp_path):
+    # quality (6dp-rounded floats), lang-id marker scores incl. the CJK
+    # arm, and the normalized md5 fingerprint — all on generated text
+    for seed in (31, 32):
+        _check_query(spark, tmp_path, seed, "doc_profile")
+
+
+def test_doc_dedup_and_histogram_oracles_hold_on_generated_corpora(spark, tmp_path):
+    for seed in (41, 42):
+        _check_query(spark, tmp_path, seed, "doc_exact_dedup_summary")
+        _check_query(spark, tmp_path, seed, "doc_len_histogram")
