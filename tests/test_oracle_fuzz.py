@@ -109,3 +109,21 @@ def test_doc_dedup_and_histogram_oracles_hold_on_generated_corpora(spark, tmp_pa
     for seed in (41, 42):
         _check_query(spark, tmp_path, seed, "doc_exact_dedup_summary")
         _check_query(spark, tmp_path, seed, "doc_len_histogram")
+
+
+def test_doc_hash_and_repetition_oracles_hold_on_generated_corpora(spark, tmp_path):
+    # md5 NULL-in-NULL-out, Gopher repetition fractions (word/bigram
+    # tokenization over messy whitespace), and the clamped drift histogram
+    for seed in (51, 52):
+        _check_query(spark, tmp_path, seed, "doc_text_md5")
+        _check_query(spark, tmp_path, seed, "doc_repetition_profile")
+        _check_query(spark, tmp_path, seed, "doc_len_drift_histogram")
+
+
+def test_dedup_pair_oracles_hold_on_generated_corpora(spark, tmp_path):
+    # the heavy dedup replays (inverted-index jaccard, md5-simhash) on a
+    # corpus with planted exact duplicates — small n keeps the unrolled
+    # oracle SQL fast
+    for seed in (61,):
+        _check_query(spark, tmp_path, seed, "doc_jaccard_pairs")
+        _check_query(spark, tmp_path, seed, "simhash_docs")
