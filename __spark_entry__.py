@@ -1549,13 +1549,25 @@ def _events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL-ts contract made explicit (generated-corpus fuzz; the fixed
+# testdata has no NULL ts): a NULL-ts RIGHT row can never satisfy
+# r.ts <= l.ts (filtered), and a NULL-ts LEFT row keeps its row with
+# NULL payload — comparison semantics, matching the engine. DuckDB's
+# native ASOF would quirkily match a NULL-ts left to the LAST right
+# (NULLS-LAST merge order), so NULL-ts lefts bypass it via UNION ALL.
 _EVENTS_ASOF_SQL = """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-err0 AS (SELECT user_id, ts, max(event_id) AS eid FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+err0 AS (SELECT user_id, ts, max(event_id) AS eid FROM events
+         WHERE event_type = 'error' AND ts IS NOT NULL GROUP BY 1, 2),
 errs AS (SELECT e0.user_id, e0.ts, e0.eid, e.value FROM err0 e0 JOIN events e ON e.event_id = e0.eid)
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
        e.eid AS last_error_id, round(e.value, 6) AS last_error_value
-FROM clicks c ASOF LEFT JOIN errs e ON c.user_id = e.user_id AND c.ts >= e.ts
+FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+ASOF LEFT JOIN errs e ON c.user_id = e.user_id AND c.ts >= e.ts
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS BIGINT) AS ts_us,
+       CAST(NULL AS BIGINT) AS last_error_id, CAST(NULL AS DOUBLE) AS last_error_value
+FROM clicks WHERE ts IS NULL
 """
 
 
@@ -1725,9 +1737,14 @@ def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_SESSIONIZATION_SQL = """
 WITH o AS (
+  -- NULL-ts rows are excluded, matching the engine contract (a
+  -- timestampless event has no session position; sessions.py sessionize
+  -- filters them — without this, Spark's NULLS-FIRST vs DuckDB's
+  -- NULLS-LAST window ordering silently diverges, caught by the
+  -- generated-corpus fuzz)
   SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), b AS (
   SELECT user_id, ts, event_id,
          CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 THEN 1 ELSE 0 END AS nb

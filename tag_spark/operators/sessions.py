@@ -34,7 +34,15 @@ def sessionize(
 
     100 TB shape: one shuffle on the key, no self-join, no driver state.
     The batch twin of streaming/stateful.py's session tracker.
+
+    Rows with NULL ``ts_col`` are EXCLUDED: a timestampless event has no
+    place on a session timeline, and engines even disagree on where NULLs
+    sort in a window (Spark NULLS FIRST vs DuckDB NULLS LAST — a latent
+    cross-engine break the generated-corpus fuzz caught; the fixed
+    testdata has no NULL ts). The validation suite's ``ts_not_null``
+    check flags such rows upstream — screen, then sessionize.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + ([F.col(tie_break).asc()] if tie_break else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     # integer-microsecond gap test: exact in every engine — a float

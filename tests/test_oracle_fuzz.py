@@ -61,18 +61,20 @@ def _canon(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def _check_query(spark, tmp_path, seed, qname):
-    docs = _corpus(seed)
-    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+def _check_query(spark, tmp_path, seed, qname, table="documents", pdf=None, sdf=None):
+    """Run queries()[qname] on a generated ``table`` parquet dir AND the
+    matching oracle_sql() on the same rows in DuckDB; compare canonically.
+    ``pdf``/``sdf`` default to the documents corpus for ``seed``."""
+    if pdf is None:
+        pdf = pd.DataFrame(_corpus(seed), columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
     sf_dir = str(tmp_path / f"fuzz_{qname}_{seed}")
-    spark.createDataFrame(pdf.astype({"doc_id": "int64"})).coalesce(1).write.mode("overwrite").parquet(
-        f"{sf_dir}/documents.parquet"
-    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
     eng = gate.queries()[qname](spark, sf_dir).collect()
     cols = list(eng[0].asDict().keys()) if eng else None
     con = duckdb.connect()
     con.register("pdf", pdf)
-    con.sql("CREATE VIEW documents AS SELECT * FROM pdf")
+    con.sql(f"CREATE VIEW {table} AS SELECT * FROM pdf")
     ora = con.sql(gate.oracle_sql()[qname]).fetchall()
     ora_cols = [d[0] for d in con.sql(gate.oracle_sql()[qname]).description]
     if cols is None:
@@ -127,3 +129,43 @@ def test_dedup_pair_oracles_hold_on_generated_corpora(spark, tmp_path):
     for seed in (61,):
         _check_query(spark, tmp_path, seed, "doc_jaccard_pairs")
         _check_query(spark, tmp_path, seed, "simhash_docs")
+
+
+def _events_corpus(seed: int, n: int = 150):
+    """Generated event stream: few hot users (plus NULL user), a 2-hour ts
+    span so 30-min session gaps and 1-hour range windows both trigger,
+    NULL timestamps/values, and PLANTED exact-(user, ts) ties so every
+    tie-break rule is exercised."""
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    rows = []
+    for i in range(n):
+        user = rng.choice([None, 1, 2, 3, 7])
+        ts = None if rng.random() < 0.05 else base + rng.randint(0, 7200)
+        etype = rng.choice(["click", "error", "view", "purchase", None])
+        value = rng.choice([None, -1.5, 0.0, 2.25, 10.0])
+        rows.append((i, ts, user, etype, value, None))
+    rows.append((n, base + 100, 1, "error", 1.0, None))
+    rows.append((n + 1, base + 100, 1, "error", 2.0, None))
+    rows.append((n + 2, base + 100, 1, "click", None, None))
+    rows.append((n + 3, base + 100, 1, "click", None, None))
+    return rows
+
+
+def _events_frames(spark, seed):
+    rows = _events_corpus(seed)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    sdf = spark.createDataFrame(pdf)
+    return pdf, sdf
+
+
+def test_event_stream_oracles_hold_on_generated_streams(spark, tmp_path):
+    # sessionization (gap windows + tie-breaks), as-of attribution (vs
+    # DuckDB's native ASOF JOIN), and the binned range join (vs the raw
+    # inequality join) on generated event streams
+    for seed in (71, 72):
+        pdf, sdf = _events_frames(spark, seed)
+        for qname in ("events_sessionization", "events_asof_attribution", "events_range_join_counts"):
+            _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
