@@ -221,26 +221,26 @@ def _events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_VERDICTS_SQL = """
 WITH viol AS (
-    SELECT 'event_type_in_vocab' AS check_id, user_id % 64 AS bucket_id FROM events
+    SELECT 'event_type_in_vocab' AS check_id, coalesce(user_id % 64, 0) AS bucket_id FROM events
     WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
   UNION ALL
-    SELECT 'value_nonneg', user_id % 64 FROM events WHERE value IS NOT NULL AND value < 0
+    SELECT 'value_nonneg', coalesce(user_id % 64, 0) FROM events WHERE value IS NOT NULL AND value < 0
   UNION ALL
-    SELECT 'purchase_value_positive', user_id % 64 FROM events
+    SELECT 'purchase_value_positive', coalesce(user_id % 64, 0) FROM events
     WHERE event_type = 'purchase' AND NOT coalesce(value > 0, FALSE)
   UNION ALL
-    SELECT 'unique_event_id', user_id % 64 FROM (
+    SELECT 'unique_event_id', coalesce(user_id % 64, 0) FROM (
         SELECT user_id, count(*) OVER (PARTITION BY event_id) AS c FROM events) WHERE c > 1
   UNION ALL
-    SELECT 'ts_monotone', user_id % 64 FROM (
+    SELECT 'ts_monotone', coalesce(user_id % 64, 0) FROM (
         SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST) AS prev FROM events
     ) WHERE prev IS NOT NULL AND ts IS NOT NULL AND ts < prev
   UNION ALL
-    SELECT 'event_id_not_null', user_id % 64 FROM events WHERE event_id IS NULL
+    SELECT 'event_id_not_null', coalesce(user_id % 64, 0) FROM events WHERE event_id IS NULL
   UNION ALL
-    SELECT 'ts_not_null', user_id % 64 FROM events WHERE ts IS NULL
+    SELECT 'ts_not_null', coalesce(user_id % 64, 0) FROM events WHERE ts IS NULL
 ),
-buckets AS (SELECT user_id % 64 AS bucket_id, count(*) AS rows_checked FROM events GROUP BY 1),
+buckets AS (SELECT coalesce(user_id % 64, 0) AS bucket_id, count(*) AS rows_checked FROM events GROUP BY 1),
 checks(check_id, severity) AS (VALUES
   ('event_id_not_null','error'), ('ts_not_null','error'), ('event_type_in_vocab','error'),
   ('value_nonneg','error'), ('purchase_value_positive','warn'), ('unique_event_id','error'),

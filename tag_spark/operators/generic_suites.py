@@ -33,8 +33,14 @@ EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' is the planted 
 
 
 def mod_bucket(col: str, n: int) -> Column:
-    """Oracle-reproducible bucket for integer keys (DuckDB has no xxhash64)."""
-    return F.pmod(F.col(col), F.lit(n)).cast("int")
+    """Oracle-reproducible bucket for integer keys (DuckDB has no xxhash64).
+
+    NULL keys land in bucket 0: a NULL bucket would fall out of the
+    verdict matrix's fixed 0..n-1 count aggregates and its rows would go
+    silently unvalidated (caught by the generated-corpus fuzz; the fixed
+    testdata has no NULL keys). The default xxhash64 bucket has no such
+    hole — Spark's xxhash64 hashes a NULL input to a real value."""
+    return F.coalesce(F.pmod(F.col(col), F.lit(n)), F.lit(0)).cast("int")
 
 
 def events_suite(n_buckets: int = 64) -> ValidationSuite:

@@ -169,3 +169,12 @@ def test_event_stream_oracles_hold_on_generated_streams(spark, tmp_path):
         pdf, sdf = _events_frames(spark, seed)
         for qname in ("events_sessionization", "events_asof_attribution", "events_range_join_counts"):
             _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
+
+
+def test_validation_suite_oracles_hold_on_generated_streams(spark, tmp_path):
+    # the engine's violation/verdict loop and uniqueness screen vs their
+    # SQL replays, on event streams with NULL ids/types/values/ts
+    for seed in (81, 82):
+        pdf, sdf = _events_frames(spark, seed)
+        for qname in ("events_violations", "events_verdicts", "unique_event_id_summary", "events_ts_span"):
+            _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
