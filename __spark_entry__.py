@@ -891,10 +891,10 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
   round(
     list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-    / (sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)^2)))
-     * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)^2)))), 6) AS cos_sim
+    / nullif(sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE)^2)))
+           * sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)^2))), 0), 6) AS cos_sim
 FROM embeddings, q
-ORDER BY cos_sim DESC, vec_id
+ORDER BY cos_sim DESC NULLS LAST, vec_id
 LIMIT 10
 """
 

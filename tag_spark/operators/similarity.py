@@ -32,7 +32,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (or is
+    NULL). try_divide, not `/`: under ANSI mode one all-zero embedding —
+    a padding artifact or failed encoder row, inevitable somewhere in a
+    100 TB corpus — would otherwise kill the whole job with
+    DIVIDE_BY_ZERO (caught by the generated-corpus fuzz). NULL cos_sim
+    sorts last under the DESC orderings every consumer uses (Spark and
+    DuckDB both default NULLS LAST on DESC) and fails every >= threshold
+    filter, so zero vectors are never retrieved."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _lit_vec(vec: list[float]) -> Column:

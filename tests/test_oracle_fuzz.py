@@ -178,3 +178,30 @@ def test_validation_suite_oracles_hold_on_generated_streams(spark, tmp_path):
         pdf, sdf = _events_frames(spark, seed)
         for qname in ("events_violations", "events_verdicts", "unique_event_id_summary", "events_ts_span"):
             _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
+
+
+def _embeddings_frames(spark, seed, dim=8, n=40):
+    """Integer-component float vectors (exact in double, so both engines'
+    sums round identically at 6dp), plus adversarial rows: the all-zero
+    vector (cosine divide-by-zero), exact duplicates of the query vector
+    (ties at the top), and a negated query (cos = -1)."""
+    rng = random.Random(seed)
+    rows = [(0, [float(rng.randint(-3, 3)) or 1.0 for _ in range(dim)], 0)]
+    for i in range(1, n):
+        rows.append((i, [float(rng.randint(-3, 3)) for _ in range(dim)], i % 5))
+    rows.append((n, [0.0] * dim, 0))  # zero vector
+    rows.append((n + 1, list(rows[0][1]), 1))  # exact dup of the query
+    rows.append((n + 2, [-x for x in rows[0][1]], 2))  # negated query
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sdf = spark.createDataFrame(
+        [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    return pdf, sdf
+
+
+def test_embedding_oracles_hold_on_generated_vectors(spark, tmp_path):
+    for seed in (91, 92):
+        pdf, sdf = _embeddings_frames(spark, seed)
+        for qname in ("embedding_topk", "embedding_quantized_stats"):
+            _check_query(spark, tmp_path, seed, qname, table="embeddings", pdf=pdf, sdf=sdf)
