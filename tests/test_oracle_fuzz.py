@@ -15,7 +15,6 @@ from __future__ import annotations
 import random
 
 import duckdb
-import pandas as pd
 
 import __spark_entry__ as gate
 
@@ -61,20 +60,22 @@ def _canon(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def _check_query(spark, tmp_path, seed, qname, table="documents", pdf=None, sdf=None):
+def _check_query(spark, tmp_path, seed, qname, table="documents", sdf=None):
     """Run queries()[qname] on a generated ``table`` parquet dir AND the
-    matching oracle_sql() on the same rows in DuckDB; compare canonically.
-    ``pdf``/``sdf`` default to the documents corpus for ``seed``."""
-    if pdf is None:
-        pdf = pd.DataFrame(_corpus(seed), columns=["doc_id", "text"])
-        sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    matching oracle_sql() on the same rows in DuckDB (reading the SAME
+    Spark-written parquet — the driver's exact wiring); compare
+    canonically. ``sdf`` defaults to the documents corpus for ``seed``."""
+    if sdf is None:
+        sdf = spark.createDataFrame(_corpus(seed), "doc_id long, text string")
     sf_dir = str(tmp_path / f"fuzz_{qname}_{seed}")
     sdf.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
     eng = gate.queries()[qname](spark, sf_dir).collect()
     cols = list(eng[0].asDict().keys()) if eng else None
     con = duckdb.connect()
-    con.register("pdf", pdf)
-    con.sql(f"CREATE VIEW {table} AS SELECT * FROM pdf")
+    # DuckDB reads the SAME parquet Spark wrote — the driver's exact wiring
+    # (a registered pandas frame would carry ns timestamps and overflow on
+    # the year-9999 violation plants the transcript view generates)
+    con.sql(f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet/*.parquet')")
     ora = con.sql(gate.oracle_sql()[qname]).fetchall()
     ora_cols = [d[0] for d in con.sql(gate.oracle_sql()[qname]).description]
     if cols is None:
@@ -153,12 +154,17 @@ def _events_corpus(seed: int, n: int = 150):
 
 
 def _events_frames(spark, seed):
-    rows = _events_corpus(seed)
-    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
-    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
-    pdf["event_id"] = pdf["event_id"].astype("int64")
-    sdf = spark.createDataFrame(pdf)
-    return pdf, sdf
+    import datetime
+
+    rows = [
+        (eid, datetime.datetime.utcfromtimestamp(ts) if ts is not None else None, u, et, v, p)
+        for eid, ts, u, et, v, p in _events_corpus(seed)
+    ]
+    # explicit DDL schema: all-NULL columns (props) must stay typed —
+    # inference would produce NullType, which DuckDB reads back as BOOLEAN
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
 
 
 def test_event_stream_oracles_hold_on_generated_streams(spark, tmp_path):
@@ -166,18 +172,18 @@ def test_event_stream_oracles_hold_on_generated_streams(spark, tmp_path):
     # DuckDB's native ASOF JOIN), and the binned range join (vs the raw
     # inequality join) on generated event streams
     for seed in (71, 72):
-        pdf, sdf = _events_frames(spark, seed)
+        sdf = _events_frames(spark, seed)
         for qname in ("events_sessionization", "events_asof_attribution", "events_range_join_counts"):
-            _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
+            _check_query(spark, tmp_path, seed, qname, table="events", sdf=sdf)
 
 
 def test_validation_suite_oracles_hold_on_generated_streams(spark, tmp_path):
     # the engine's violation/verdict loop and uniqueness screen vs their
     # SQL replays, on event streams with NULL ids/types/values/ts
     for seed in (81, 82):
-        pdf, sdf = _events_frames(spark, seed)
+        sdf = _events_frames(spark, seed)
         for qname in ("events_violations", "events_verdicts", "unique_event_id_summary", "events_ts_span"):
-            _check_query(spark, tmp_path, seed, qname, table="events", pdf=pdf, sdf=sdf)
+            _check_query(spark, tmp_path, seed, qname, table="events", sdf=sdf)
 
 
 def _embeddings_frames(spark, seed, dim=8, n=40):
@@ -192,16 +198,39 @@ def _embeddings_frames(spark, seed, dim=8, n=40):
     rows.append((n, [0.0] * dim, 0))  # zero vector
     rows.append((n + 1, list(rows[0][1]), 1))  # exact dup of the query
     rows.append((n + 2, [-x for x in rows[0][1]], 2))  # negated query
-    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
-    sdf = spark.createDataFrame(
+    return spark.createDataFrame(
         [(int(v), [float(x) for x in e], int(l)) for v, e, l in rows],
         "vec_id long, embedding array<float>, label int",
     )
-    return pdf, sdf
 
 
 def test_embedding_oracles_hold_on_generated_vectors(spark, tmp_path):
     for seed in (91, 92):
-        pdf, sdf = _embeddings_frames(spark, seed)
+        sdf = _embeddings_frames(spark, seed)
         for qname in ("embedding_topk", "embedding_quantized_stats"):
-            _check_query(spark, tmp_path, seed, qname, table="embeddings", pdf=pdf, sdf=sdf)
+            _check_query(spark, tmp_path, seed, qname, table="embeddings", sdf=sdf)
+
+
+def test_transcript_derived_oracles_hold_on_generated_streams(spark, tmp_path):
+    # the flagship full-suite run, digests, canonical view and
+    # declared-count checks over the events-derived transcript view,
+    # on generated streams with NULL ids/types/ts
+    for seed in (101,):
+        sdf = _events_frames(spark, seed)
+        for qname in (
+            "transcript_violations",
+            "conversation_digests",
+            "payload_digests_md5",
+            "exclusion_digests_md5",
+            "events_canonical",
+            "declared_turns_check",
+        ):
+            _check_query(spark, tmp_path, seed, qname, table="events", sdf=sdf)
+
+
+def test_drift_oracle_holds_on_generated_streams(spark, tmp_path):
+    # PSI/KS replay: empty histogram buckets stress the smoothed-ratio
+    # divisions on both sides
+    for seed in (111, 112):
+        sdf = _events_frames(spark, seed)
+        _check_query(spark, tmp_path, seed, "events_drift_check", table="events", sdf=sdf)
