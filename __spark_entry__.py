@@ -2424,12 +2424,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(o_orderpriority) AS BIGINT) AS nn_o_orderpriority"
             " FROM orders"
         ),
+        # try_cast to JSON first: Spark's get_json_object returns NULL on
+        # malformed props while DuckDB's ->> hard-errors — at scale
+        # malformed JSON is inevitable and the replay must tolerate it
+        # exactly like the engine (generated-corpus fuzz)
         "props_json_k_stats": (
-            "SELECT CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,"
-            " CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,"
-            " CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,"
-            " CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k"
-            " FROM events"
+            "WITH j AS (SELECT CAST(try_cast(props AS JSON)->>'$.k' AS BIGINT) AS k FROM events)"
+            " SELECT CAST(count(k) AS BIGINT) AS n_k,"
+            " CAST(min(k) AS BIGINT) AS min_k,"
+            " CAST(max(k) AS BIGINT) AS max_k,"
+            " CAST(sum(k) AS BIGINT) AS sum_k"
+            " FROM j"
         ),
         "doc_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "doc_exact_dedup_summary": (

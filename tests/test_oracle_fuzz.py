@@ -234,3 +234,39 @@ def test_drift_oracle_holds_on_generated_streams(spark, tmp_path):
     for seed in (111, 112):
         sdf = _events_frames(spark, seed)
         _check_query(spark, tmp_path, seed, "events_drift_check", table="events", sdf=sdf)
+
+
+def _docs_full_frames(spark, seed):
+    """Documents corpus extended with lang/source/n_chars (NULL lang rows
+    included — a stratum key edge) for the sampling queries."""
+    rng = random.Random(seed + 7)
+    rows = []
+    for doc_id, text in _corpus(seed):
+        lang = rng.choice([None, "en", "de", "es", "zh"])
+        rows.append((doc_id, text, lang, f"src{doc_id % 5}", len(text) if text else None))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_sampling_and_props_oracles_hold_on_generated_data(spark, tmp_path):
+    # md5-ordered stratified sampling (NULL stratum rows included),
+    # Exchange-free hash sampling, and the JSON k-stats extraction with
+    # malformed / missing-key / NULL props
+    for seed in (121, 122):
+        sdf = _docs_full_frames(spark, seed)
+        for qname in ("doc_stratified_sample", "doc_hash_sample_stats"):
+            _check_query(spark, tmp_path, seed, qname, table="documents", sdf=sdf)
+    for seed in (131,):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(120):
+            props = rng.choice(
+                [None, '{"k": %d}' % rng.randint(-5, 99), '{"j": 1}', "not json", "{}", '{"k": null}']
+            )
+            rows.append((i, None, i % 7, "click", 1.0, props))
+        import datetime
+
+        sdf = spark.createDataFrame(
+            [(e, datetime.datetime.utcfromtimestamp(1_700_000_000 + e), u, t, v, p) for e, _, u, t, v, p in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        _check_query(spark, tmp_path, seed, "props_json_k_stats", table="events", sdf=sdf)
