@@ -134,18 +134,53 @@ def _ref_orders_customer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flagship analytics query (A1-style histogramming at full width);
-    # decimal-exact sums, cast to double post-agg for a stable hash
+    # decimal-exact sums, cast to double post-agg for a stable hash.
+    # Averages are ONE double division of the exact decimal sum by the
+    # non-null count — NOT avg(decimal): Spark's decimal avg divides in
+    # exact decimal (HALF_UP at scale+4) while DuckDB's avg(DECIMAL)
+    # returns an inexact DOUBLE, and at a .xxxx5 money boundary the two
+    # round(…, 4) results differ by one ulp (caught by the generated-
+    # corpus fuzz planting 901.005 prices). Identical exact operands →
+    # identical double → identical rounding in both engines. try_divide:
+    # an all-NULL group averages to NULL, not a crash.
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("count_order"),
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.round(F.avg(dec("l_quantity")), 4).cast("double").alias("avg_qty"),
-            F.round(F.avg(dec("l_extendedprice")), 4).cast("double").alias("avg_price"),
-        )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        # exact integer state for the averages: cent-scaled sums (x100 of
+        # a scale-2 decimal is integer-valued, the cast is lossless) and
+        # non-null counts
+        (F.sum(dec("l_quantity")) * 100).cast("long").alias("__aq"),
+        F.count("l_quantity").alias("__nq"),
+        (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("__ap"),
+        F.count("l_extendedprice").alias("__np"),
+    )
+
+    def _avg4(a: str, b: str):
+        # HALF-UP-away-from-zero at 4dp in EXACT integer arithmetic:
+        # q = (2|a'|+b) div (2b) with a' = cents*100 (so q is the avg
+        # scaled by 1e4), then ONE division of a small exact integer by
+        # 1e4 — both engines compute the identical double. All-decimal or
+        # all-double alternatives are NOT portable: DuckDB decimal
+        # division lands in DOUBLE, and the engines' round(double, n)
+        # algorithms differ by one ulp at .xxxx5 money boundaries (caught
+        # by the generated-corpus fuzz planting 901.005 prices). Overflow
+        # bound: |sum| < 2^63/2e4 dollars per group — fine below ~4.6e14.
+        q = F.expr(f"(2 * abs({a} * 100) + {b}) div (2 * {b})")
+        return F.when(
+            F.col(b) > 0, (F.signum(F.col(a)).cast("long") * q).cast("double") / F.lit(10000.0)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "count_order",
+        "sum_qty",
+        "sum_base_price",
+        _avg4("__aq", "__nq").alias("avg_qty"),
+        _avg4("__ap", "__np").alias("avg_price"),
     )
 
 
@@ -2405,8 +2440,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count_order,"
             " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
             " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,"
-            " CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,"
-            " CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_price"
+            " CAST(CASE WHEN count(l_quantity) > 0 THEN"
+            "   CAST(sign(sum(CAST(l_quantity AS DECIMAL(18,2))))"
+            "     * ((2 * abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT))"
+            "        + count(l_quantity)) // (2 * count(l_quantity))) AS DOUBLE) / 10000.0"
+            "   END AS DOUBLE) AS avg_qty,"
+            " CAST(CASE WHEN count(l_extendedprice) > 0 THEN"
+            "   CAST(sign(sum(CAST(l_extendedprice AS DECIMAL(18,2))))"
+            "     * ((2 * abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT))"
+            "        + count(l_extendedprice)) // (2 * count(l_extendedprice))) AS DOUBLE) / 10000.0"
+            "   END AS DOUBLE) AS avg_price"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "events_ts_span": (

@@ -270,3 +270,41 @@ def test_sampling_and_props_oracles_hold_on_generated_data(spark, tmp_path):
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
         )
         _check_query(spark, tmp_path, seed, "props_json_k_stats", table="events", sdf=sdf)
+
+
+def _lineitem_frames(spark, seed, n=200):
+    """Generated lineitem with the decimal-parity landmines: money values
+    at 2dp including .005-boundary cents, NULL quantities/prices/flags,
+    negative and zero quantities, duplicate (orderkey, linenumber) keys
+    and out-of-order linenumbers for the window checks."""
+    import datetime
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        ok = rng.randint(1, 30)
+        ln = rng.randint(1, 7)
+        qty = rng.choice([None, -2.0, 0.0, 1.0, 17.0, 50.0])
+        price = rng.choice([None, 0.01, 901.005, 1234.56, 99999.99])
+        disc = rng.choice([None, 0.0, 0.05, 0.1, 1.5])  # 1.5 = out-of-range plant
+        tax = rng.choice([None, 0.0, 0.08])
+        rf = rng.choice([None, "A", "N", "R", "X"])  # X = vocab violation
+        ls = rng.choice(["O", "F"])
+        ship = datetime.datetime.utcfromtimestamp(1_600_000_000 + rng.randint(0, 10_000_000))
+        rows.append((ok, rng.randint(1, 99), rng.randint(1, 99), ln, qty, price, disc, tax, rf, ls, ship))
+    rows.append(rows[-1])  # exact duplicate key row (unique check)
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+
+
+def test_lineitem_oracles_hold_on_generated_tables(spark, tmp_path):
+    # decimal-cast money aggregation (q1), per-bucket stats, exact
+    # quantiles, and the violation suite over adversarial lineitem rows
+    for seed in (141, 142):
+        sdf = _lineitem_frames(spark, seed)
+        for qname in ("q1_pricing_summary", "stats_lineitem_buckets", "stats_quantiles_exact", "lineitem_violations"):
+            _check_query(spark, tmp_path, seed, qname, table="lineitem", sdf=sdf)
