@@ -60,22 +60,26 @@ def _canon(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def _check_query(spark, tmp_path, seed, qname, table="documents", sdf=None):
+def _check_query(spark, tmp_path, seed, qname, table="documents", sdf=None, tables=None):
     """Run queries()[qname] on a generated ``table`` parquet dir AND the
     matching oracle_sql() on the same rows in DuckDB (reading the SAME
     Spark-written parquet — the driver's exact wiring); compare
-    canonically. ``sdf`` defaults to the documents corpus for ``seed``."""
-    if sdf is None:
-        sdf = spark.createDataFrame(_corpus(seed), "doc_id long, text string")
+    canonically. ``sdf`` defaults to the documents corpus for ``seed``;
+    pass ``tables`` ({name: sdf}) for multi-table queries."""
+    if tables is None:
+        if sdf is None:
+            sdf = spark.createDataFrame(_corpus(seed), "doc_id long, text string")
+        tables = {table: sdf}
     sf_dir = str(tmp_path / f"fuzz_{qname}_{seed}")
-    sdf.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    con = duckdb.connect()
+    for tname, tdf in tables.items():
+        tdf.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{tname}.parquet")
+        # DuckDB reads the SAME parquet Spark wrote — the driver's exact
+        # wiring (a registered pandas frame would carry ns timestamps and
+        # overflow on the year-9999 plants the transcript view generates)
+        con.sql(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sf_dir}/{tname}.parquet/*.parquet')")
     eng = gate.queries()[qname](spark, sf_dir).collect()
     cols = list(eng[0].asDict().keys()) if eng else None
-    con = duckdb.connect()
-    # DuckDB reads the SAME parquet Spark wrote — the driver's exact wiring
-    # (a registered pandas frame would carry ns timestamps and overflow on
-    # the year-9999 violation plants the transcript view generates)
-    con.sql(f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet/*.parquet')")
     ora = con.sql(gate.oracle_sql()[qname]).fetchall()
     ora_cols = [d[0] for d in con.sql(gate.oracle_sql()[qname]).description]
     if cols is None:
@@ -308,3 +312,39 @@ def test_lineitem_oracles_hold_on_generated_tables(spark, tmp_path):
         sdf = _lineitem_frames(spark, seed)
         for qname in ("q1_pricing_summary", "stats_lineitem_buckets", "stats_quantiles_exact", "lineitem_violations"):
             _check_query(spark, tmp_path, seed, qname, table="lineitem", sdf=sdf)
+
+
+def test_referential_and_profile_oracles_hold_on_generated_tables(spark, tmp_path):
+    # broadcast anti-join orphan counting with NULL foreign keys (a NULL
+    # FK is not an orphan under anti-join semantics — both engines must
+    # agree), plus the one-pass null-rate profile
+    import datetime
+
+    for seed in (151, 152):
+        rng = random.Random(seed)
+        orders = []
+        for i in range(150):
+            ck = rng.choice([None, rng.randint(1, 40), rng.randint(100, 120)])  # 100+ = orphans
+            orders.append(
+                (
+                    i,
+                    ck,
+                    rng.choice([None, "O", "F", "P"]),
+                    rng.choice([None, 0.0, 901.005, 5.5]),
+                    rng.choice([None, datetime.datetime(2020, 1, 1 + rng.randint(0, 27))]),
+                    rng.choice([None, "1-URGENT", "5-LOW"]),
+                )
+            )
+        odf = spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+            "o_orderdate timestamp, o_orderpriority string",
+        )
+        cust = [(k, f"c{k}", k % 5, 1.0, "SEG") for k in range(1, 41)] + [(None, "cnull", 0, 0.0, "SEG")]
+        cdf = spark.createDataFrame(
+            cust, "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string"
+        )
+        _check_query(
+            spark, tmp_path, seed, "ref_orders_customer_orphans", tables={"orders": odf, "customer": cdf}
+        )
+        _check_query(spark, tmp_path, seed, "null_profile_orders", tables={"orders": odf})
