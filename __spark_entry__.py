@@ -1881,7 +1881,10 @@ def _stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     q = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75))")
     return (
-        li.groupBy(F.pmod(F.col("l_orderkey"), F.lit(8)).cast("long").alias("bucket_id"))
+        # `%` (sign-of-dividend), not pmod: the oracle's l_orderkey % 8 keeps
+        # the dividend's sign, so a negative key must bucket identically here
+        # (identical for the non-negative driver data; ADVICE r5 parity class)
+        li.groupBy((F.col("l_orderkey") % F.lit(8)).cast("long").alias("bucket_id"))
         .agg(q.alias("q"))
         .select(
             "bucket_id",

@@ -143,7 +143,14 @@ class RegexDisallow(Check):
     pattern: str = "\x00"
 
     def predicate(self, df: DataFrame) -> Column:
+        import re
+
         c = F.col(self.col)
+        # literal patterns (no regex metacharacters) match iff the string
+        # contains them — `contains` runs as a codegen'd byte scan instead
+        # of a Java regex engine pass over every row (guide §1.2 step 2)
+        if re.escape(self.pattern) == self.pattern:
+            return c.isNull() | ~c.contains(self.pattern)
         return c.isNull() | ~c.rlike(self.pattern)
 
     def reason(self) -> Column:
@@ -201,6 +208,17 @@ class WindowCheck(Check):
     def _w(self) -> Window:
         return Window.partitionBy(*self.partition_by).orderBy(*[F.col(c) for c in self.order_by])
 
+    def window_cols(self) -> dict[str, Column]:
+        """Named window expressions the suite projects ONCE (below the fail
+        structs). Catalyst's window extraction creates one evaluated column
+        per *occurrence* of a window expression — it does not dedupe equal
+        ones — so a predicate+reason pair referencing lag() four times used
+        to evaluate four identical lag columns per row. Subclasses name
+        each distinct expression here and reference it via F.col() in
+        predicate()/reason(); a subclass that keeps embedding raw window
+        expressions still works (just with the duplicate evaluations)."""
+        return {}
+
     def referenced_cols(self) -> set[str]:
         """Columns this check needs post-shuffle (suite projects everything
         else away before the exchange — payload columns never shuffle).
@@ -241,17 +259,23 @@ class Unique(WindowCheck):
         # partition_by/order_by defaults are unused and must not leak in
         return set(self.keys) | set(self.rank_by)
 
-    def predicate(self, df: DataFrame) -> Column:
+    def window_cols(self) -> dict[str, Column]:
         w = Window.partitionBy(*[F.col(k) for k in self.keys])
-        return F.count(F.lit(1)).over(w) == 1
-
-    def reason(self) -> Column:
         # default asc (NULLS FIRST) so the rank window's required ordering is
         # byte-identical to the order-checks' sort and Spark plans ONE Sort
-        w = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*[F.col(c).asc() for c in self.rank_by])
+        wo = Window.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*[F.col(c).asc() for c in self.rank_by])
+        return {
+            f"__w_cnt_{self.check_id}": F.count(F.lit(1)).over(w),
+            f"__w_rn_{self.check_id}": F.row_number().over(wo),
+        }
+
+    def predicate(self, df: DataFrame) -> Column:
+        return F.col(f"__w_cnt_{self.check_id}") == 1
+
+    def reason(self) -> Column:
         return F.concat(
             F.lit(f"duplicate key ({','.join(self.keys)}) rank="),
-            (F.row_number().over(w) - 1).cast("string"),
+            (F.col(f"__w_rn_{self.check_id}") - 1).cast("string"),
         )
 
 
@@ -264,16 +288,17 @@ class ContiguousIndex(WindowCheck):
     idx_col: str = "turn_idx"
     start: int = 0
 
+    def window_cols(self) -> dict[str, Column]:
+        return {f"__w_prev_{self.check_id}": F.lag(F.col(self.idx_col)).over(self._w())}
+
     def predicate(self, df: DataFrame) -> Column:
-        w = self._w()
-        prev = F.lag(F.col(self.idx_col)).over(w)
+        prev = F.col(f"__w_prev_{self.check_id}")
         first_ok = prev.isNotNull() | (F.col(self.idx_col) == self.start)
         step_ok = prev.isNull() | (F.col(self.idx_col) == prev + 1) | (F.col(self.idx_col) == prev)  # dup handled by Unique
         return first_ok & step_ok
 
     def reason(self) -> Column:
-        w = self._w()
-        prev = F.lag(F.col(self.idx_col)).over(w)
+        prev = F.col(f"__w_prev_{self.check_id}")
         return F.when(
             prev.isNull(), F.concat(F.lit(f"sequence must start at {self.start}, got "), F.col(self.idx_col).cast("string"))
         ).otherwise(F.concat(F.lit("sequence gap: "), prev.cast("string"), F.lit(" -> "), F.col(self.idx_col).cast("string")))
@@ -286,14 +311,15 @@ class Monotonic(WindowCheck):
 
     col: str = "ts"
 
+    def window_cols(self) -> dict[str, Column]:
+        return {f"__w_prev_{self.check_id}": F.lag(F.col(self.col)).over(self._w())}
+
     def predicate(self, df: DataFrame) -> Column:
-        w = self._w()
-        prev = F.lag(F.col(self.col)).over(w)
+        prev = F.col(f"__w_prev_{self.check_id}")
         return prev.isNull() | F.col(self.col).isNull() | (F.col(self.col) >= prev)
 
     def reason(self) -> Column:
-        w = self._w()
-        prev = F.lag(F.col(self.col)).over(w)
+        prev = F.col(f"__w_prev_{self.check_id}")
         return F.concat(F.lit(f"{self.col} regressed: "), prev.cast("string"), F.lit(" -> "), F.col(self.col).cast("string"))
 
 

@@ -89,35 +89,167 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Inverted-index plan: (doc, shingle) exploded → optional frequency cap
-    (drop shingles shared by > max_shingle_freq docs: they generate
-    quadratic candidates while signaling boilerplate, the standard
-    web-dedup trick) → self-equi-join on shingle → per-pair intersection
-    counts → Jaccard from |A|+|B|-∩. Shuffles on shingle then on the pair
-    key; no cartesian anywhere."""
-    shingled = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh"))
+    PREFIX-FILTERED inverted-index plan (the PPJoin family, Xiao et al. /
+    Chaudhuri et al., public): (doc, shingle) exploded once → optional
+    frequency cap (drop shingles shared by > max_shingle_freq docs) → each
+    doc's capped shingles sorted rarest-first by the global (freq, shingle)
+    order → ONLY the first |A| - ceil(t·|A|) + 1 shingles of each doc (its
+    "prefix") enter the candidate self-join. Pigeonhole guarantee: a pair
+    with jaccard ≥ t shares ≥ ceil(t·max(|A|,|B|)) shingles, so its
+    prefixes must intersect — zero false negatives; candidates are then
+    verified with an exact set intersection over the full capped shingle
+    arrays. Replaces the plain shingle self-join, whose candidate volume is
+    Σ_sh f(sh)² — quadratic in bucket size for boilerplate shingles just
+    under the cap (measured 174 s vs < 10 s at 5 000 docs, cap 1000).
 
+    The exploded/capped streams are persisted for the run: Spark does not
+    reuse shared subplans, so the un-persisted plan re-ran the shingle
+    pipeline up to 5× per action."""
+    shingled = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh")).persist()
+
+    freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     if max_shingle_freq is not None:
-        freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
-        shingled = shingled.join(freq.select("sh"), "sh", "inner")
+        freq = freq.filter(F.col("f") <= max_shingle_freq)
+    capped = shingled.join(freq, "sh", "inner")
 
-    # sizes AFTER the frequency cap: jaccard must be consistent over the
-    # capped shingle universe, or identical docs sharing only boilerplate
-    # shingles get n_inter=0 against full n_a/n_b and are silently missed
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # one array per doc, sorted by the GLOBAL (freq asc, shingle asc) order
+    # — the total order the prefix-filter theorem needs. n_sh counts the
+    # capped universe (jaccard must be consistent over it, or identical
+    # docs sharing only boilerplate shingles get n_inter=0 against full
+    # n_a/n_b and are silently missed). Alongside the string arrays the
+    # table carries: hord (xxhash64 per shingle, prefix order) for the
+    # candidate join, hset (sorted distinct hashes) for the cheap
+    # intersection prefilter, and m = n_sh - |hset| (in-doc hash
+    # collisions, almost always 0) for the provable upper bound below.
+    # 256-bit presence bitmap per doc, four bit_or(long) partial aggregates;
+    # SQL text because F.shiftleft only takes a literal shift amount
+    bit_sql = "pmod(xxhash64(sh), 256)"
+    bm_aggs = [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN {bit_sql} >= {64 * w} AND {bit_sql} < {64 * (w + 1)} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), CAST({bit_sql} - {64 * w} AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias(f"bm{w}")
+        for w in range(4)
+    ]
+    docs_arr = (
+        capped.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("f"), F.col("sh")))).alias("__fsh"),
+            F.count(F.lit(1)).alias("n_sh"),
+            *bm_aggs,
+        )
+        .select(
+            "id",
+            F.transform(F.col("__fsh"), lambda s: s["sh"]).alias("shs"),
+            F.transform(F.col("__fsh"), lambda s: F.xxhash64(s["sh"])).alias("hord"),
+            "n_sh",
+            *[f"bm{w}" for w in range(4)],
+        )
+        .withColumn("m", F.col("n_sh") - F.size(F.array_distinct(F.col("hord"))))
+        .persist()
     )
+
+    # prefix length L = n - ceil(t*n) + 1. The output contract keeps pairs
+    # whose ROUNDED (6dp, half-up) jaccard reaches t, i.e. true J can be as
+    # low as t - 5e-7 — so every pruning bound is derived from the strictly
+    # smaller t' = (floor(t*1e6) - 1)/1e6 <= t - 1e-6 < t - 5e-7 (exact
+    # integer/double-safe arithmetic; an under-approximated bound only
+    # lengthens the prefix / widens the candidate set, never misses a pair)
+    t6 = max(0, int(threshold * 1_000_000) - 1)
+    alpha = F.ceil(F.lit(t6) * F.col("n_sh") / F.lit(1_000_000))
+    prefix_len = F.greatest(F.col("n_sh") - alpha + 1, F.lit(0)).cast("int")
+    pref = docs_arr.select(
+        "id", "n_sh", F.posexplode(F.slice(F.col("hord"), F.lit(1), prefix_len)).alias("p0", "hb")
+    ).persist()
+
+    # pairwise overlap lower bound alpha2 = ceil(t*(n_a+n_b)/(1+t)) — the
+    # PPJoin bound, TIGHTER than the per-side ceil(t*n) that sized the
+    # prefixes — in exact long arithmetic: ceil(p/q) = (p+q-1 - (p+q-1)%q)/q
+    # (float ceil could round the wrong way on exact-integer quotients).
+    # POSITIONAL filter: a qualifying pair's FIRST common token at 1-based
+    # positions (pa, pb) satisfies 1 + min(n_a-pa, n_b-pb) >= I >= alpha2,
+    # so dropping join rows that fail the bound never loses a pair.
+    q = 1_000_000 + t6
+    p = F.lit(t6) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    r = p + F.lit(q - 1)
+    alpha2 = (r - F.pmod(r, F.lit(q))) / F.lit(q)
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                (1 + F.least(F.col("a.n_sh") - (F.col("a.p0") + 1), F.col("b.n_sh") - (F.col("b.p0") + 1)))
+                >= alpha2
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # stage 1 verify — 256-bit bitmap upper bound, six longs per side
+    # instead of whole shingle arrays (carrying two ~50-element arrays
+    # through every candidate row was the measured dominant cost). A bit
+    # set in A's bitmap but not B's holds only A-exclusive hashes, so
+    # |hset_a ∩ hset_b| <= |hset_a| - popcount(bm_a & ~bm_b) (and
+    # symmetrically), and true I <= |hset_a ∩ hset_b| + min(m_a, m_b)
+    # (collisions WITHIN the true intersection are in-doc collisions on
+    # both sides; phantom cross-collisions only inflate). J is monotone in
+    # I, so filtering on J_ub >= t' is a provable superset of the true
+    # pairs — never a false negative. For typical candidates sharing 1-3
+    # shingles the bound sits far below alpha2 and the pair dies here with
+    # four AND/popcount ops, fully codegen'd.
+    side_cols = lambda side: [  # noqa: E731
+        F.col("id").alias(f"id_{side}"),
+        F.col("n_sh").alias(f"n_{side}"),
+        F.col("m").alias(f"m_{side}"),
+        *[F.col(f"bm{w}").alias(f"bm{w}_{side}") for w in range(4)],
+    ]
+    ha = docs_arr.select(*side_cols("a"))
+    hb = docs_arr.select(*side_cols("b"))
+    a_only = sum(
+        [F.bit_count(F.col(f"bm{w}_a").bitwiseAND(F.bitwise_not(F.col(f"bm{w}_b")))) for w in range(1, 4)],
+        F.bit_count(F.col("bm0_a").bitwiseAND(F.bitwise_not(F.col("bm0_b")))),
+    )
+    b_only = sum(
+        [F.bit_count(F.col(f"bm{w}_b").bitwiseAND(F.bitwise_not(F.col(f"bm{w}_a")))) for w in range(1, 4)],
+        F.bit_count(F.col("bm0_b").bitwiseAND(F.bitwise_not(F.col("bm0_a")))),
+    )
+    mmin = F.least(F.col("m_a"), F.col("m_b"))
+    iub = F.least(
+        (F.col("n_a") - F.col("m_a")) - a_only + mmin,
+        (F.col("n_b") - F.col("m_b")) - b_only + mmin,
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+    surv = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("__iub", iub)
+        # t - 1e-6 slack: the final filter keeps round(J,6) >= t, so true J
+        # may sit 5e-7 below t; J_ub >= J makes this a provable superset
+        .filter(F.col("__iub") / (F.col("n_a") + F.col("n_b") - F.col("__iub")) >= threshold - 1e-6)
+        .select("id_a", "id_b")
+    )
+
+    # stage 2 verify — EXACT string intersection on the (tiny) survivor
+    # set; identical arithmetic to the original join-count formulation
+    av = docs_arr.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a"))
+    bv = docs_arr.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        surv.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
+        # n_inter >= 1 mirrors the original inverted-index join, which could
+        # only ever emit pairs sharing a real shingle (relevant at t <= 0,
+        # where a phantom hash-only candidate would otherwise pass)
+        .filter((F.col("jaccard") >= threshold) & (F.col("n_inter") >= 1))
         .select("id_a", "id_b", "jaccard")
     )
     return out
@@ -200,11 +332,16 @@ def minhash_band_table(
 def _verify_jaccard(cand: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs only: shingle sets are
     recomputed for CANDIDATE ids alone (semi-join first), so the work is
-    candidate-bounded, never corpus-bounded."""
+    candidate-bounded, never corpus-bounded. ``cand`` and the candidate
+    shingle table are persisted for the run: each is referenced 2-3 times
+    below and Spark re-executes unshared subplans (the un-persisted shape
+    re-ran the whole corpus signature pipeline per reference)."""
+    cand = cand.persist()
     ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     sh = (
         docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
         .join(ids, "id", "left_semi")
+        .persist()
     )
     return (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -237,7 +374,9 @@ def minhash_lsh_pairs(
     16 bands × 4 rows catches j≥0.6 with ~0.97 probability. The join is an
     equi-join on (band_idx, band_hash): at 100 TB this is the only shape
     that survives, since bucket sizes — not n² — bound the work."""
-    banded = minhash_band_table(df, id_col, text_col, k, num_hashes, bands, seed)
+    # persisted: the self-join references the band table twice, and Spark
+    # would otherwise run the whole scan→shingle→signature pipeline per side
+    banded = minhash_band_table(df, id_col, text_col, k, num_hashes, bands, seed).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -286,7 +425,8 @@ def minhash_lsh_pairs_incremental(
     (cmd/check/main.go:77-99). To roll the index forward, append the new
     shard's band table (returned by minhash_band_table on the shard) to the
     stored one."""
-    nb = minhash_band_table(new_df, id_col, text_col, k, num_hashes, bands, seed)
+    # persisted: referenced as the probe side AND inside the union (twice)
+    nb = minhash_band_table(new_df, id_col, text_col, k, num_hashes, bands, seed).persist()
     all_bands = band_table.unionByName(nb)
     a, b = nb.alias("a"), all_bands.alias("b")
     cand = (
@@ -444,7 +584,8 @@ def simhash_pairs(
     banding: split 64 bits into max_hamming+1 chunks — any pair within the
     ball agrees exactly on ≥1 chunk → candidates via equi-join on
     (chunk_idx, chunk_value), verified with bit_count(xor)."""
-    chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed)
+    # persisted: both sides of the self-join reference the same chunk table
+    chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -485,7 +626,8 @@ def simhash_pairs_incremental(
     shard's simhash_chunk_table. Raises if ``chunk_table`` was built with a
     different max_hamming (mismatched chunk widths would silently miss)."""
     _assert_chunk_ball(chunk_table, max_hamming)
-    nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed)
+    # persisted: referenced as the probe side AND inside the union (twice)
+    nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed).persist()
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
     swap = F.col("a.id") < F.col("b.id")
@@ -573,7 +715,8 @@ def simhash_pairs_incremental_md5(
     re-walk only what you point at (cmd/check/main.go:77-99). Raises if
     ``chunk_table`` was built with a different max_hamming."""
     _assert_chunk_ball(chunk_table, max_hamming)
-    nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming)
+    # persisted: referenced as the probe side AND inside the union (twice)
+    nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming).persist()
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
     swap = F.col("a.id") < F.col("b.id")
@@ -686,7 +829,13 @@ def neardup_clusters(
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
     nodes = ids_df.select(F.col(id_col).alias("id")).distinct()
-    e = pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # e is persisted BEFORE the symmetrizing union: the union references the
+    # caller's pair plan twice, and when that plan's expensive tail sits
+    # above its last exchange (e.g. a broadcast-join verify stage) Spark
+    # re-executes it per branch — ReuseExchange only dedupes identical
+    # exchange subtrees, not arbitrary subplans (measured 2x the whole
+    # pair-generation cost on the jaccard pipeline).
+    e = pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).persist()
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
     labels = truncate(nodes.select("id", F.col("id").alias("label")))
     rounds = 0
@@ -751,6 +900,7 @@ def neardup_clusters(
         )
     finally:
         edges.unpersist()
+        e.unpersist()
 
 
 def neardup_clusters_incremental(

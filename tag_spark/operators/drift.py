@@ -83,16 +83,32 @@ def multi_histogram(df: DataFrame, specs: list[tuple[str, Column, float, float, 
     metrics."""
     n = len(specs)
     buckets = []
+    cells_cap = 1
     for metric, expr, lo, hi, n_buckets in specs:
         w = (hi - lo) / n_buckets
         x = expr.cast("double")
         clamped = F.least(F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)), F.lit(n_buckets - 1))
         buckets.append(F.when(x.isNotNull(), clamped).cast("int").alias(f"__b{len(buckets)}"))
+        cells_cap *= n_buckets + 1  # +1: the null-bucket group
     sel = df.select(*buckets)
     gcols = [F.col(f"__b{i}") for i in range(n)]
-    gs = sel.groupingSets([[c] for c in gcols], *gcols).agg(
-        F.count(F.lit(1)).alias("count"), F.grouping_id().alias("__gid")
-    )
+    if cells_cap <= 65_536:
+        # pre-aggregate the CROSS-bucket cells first (bounded by
+        # Π(n_buckets_i+1) — tiny for the usual 2-4 metric specs), then run
+        # GROUPING SETS over the cells: the fact table passes through ONE
+        # hash aggregate with no Expand, instead of Expand amplifying every
+        # row n× before the aggregate (guide §2.3 — aggregate before you
+        # shuffle). Marginal counts are identical: summing cell counts per
+        # single-column group equals counting rows per group, null cells
+        # included, so per-metric NULL independence is preserved.
+        cells = sel.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__cn"))
+        gs = cells.groupingSets([[c] for c in gcols], *gcols).agg(
+            F.sum("__cn").alias("count"), F.grouping_id().alias("__gid")
+        )
+    else:
+        gs = sel.groupingSets([[c] for c in gcols], *gcols).agg(
+            F.count(F.lit(1)).alias("count"), F.grouping_id().alias("__gid")
+        )
     # grouping_id bit for column i is 0 when that column is grouped: the
     # set {__bi} has gid = (2^n - 1) & ~(1 << (n-1-i)). Metric identity,
     # bucket and edges all decode from gid in ONE projection — a per-metric
@@ -169,11 +185,20 @@ def drift_check(
     psi_threshold: float = DEFAULT_PSI_THRESHOLD,
 ) -> DataFrame:
     """Compare two histogram frames metric-by-metric → one drift verdict row
-    per metric. Exactly TWO jobs (one collect per frame — each frame's plan
-    may reach back to the fact table, so per-metric collects would multiply
-    full scans); the PSI/KS math runs on ≤ n_buckets entries driver-side."""
-    base_all = _collect_hists(baseline_hist)
-    cur_all = _collect_hists(current_hist)
+    per metric. Exactly ONE job: the two histogram frames are unioned with
+    a side tag and collected together, so their (fact-table-sized) subplans
+    run as one Spark job — the second scan's tasks back-fill the cores the
+    first scan's tail leaves idle, and one action's scheduling overhead is
+    paid instead of two (guide §2.6). Per-metric collects would multiply
+    full scans. The PSI/KS math runs on ≤ n_buckets entries driver-side."""
+    tagged = baseline_hist.select(F.lit(0).alias("__side"), "metric", "bucket", "count").unionByName(
+        current_hist.select(F.lit(1).alias("__side"), "metric", "bucket", "count")
+    )
+    base_all: dict[str, dict[int, int]] = {}
+    cur_all: dict[str, dict[int, int]] = {}
+    for r in tagged.collect():
+        out_side = base_all if r["__side"] == 0 else cur_all
+        out_side.setdefault(r["metric"], {})[r["bucket"]] = r["count"]
     out = []
     for m in sorted(set(base_all) | set(cur_all)):
         psi, ks, nb, nc = psi_ks(base_all.get(m, {}), cur_all.get(m, {}))

@@ -39,8 +39,16 @@ def mod_bucket(col: str, n: int) -> Column:
     verdict matrix's fixed 0..n-1 count aggregates and its rows would go
     silently unvalidated (caught by the generated-corpus fuzz; the fixed
     testdata has no NULL keys). The default xxhash64 bucket has no such
-    hole — Spark's xxhash64 hashes a NULL input to a real value."""
-    return F.coalesce(F.pmod(F.col(col), F.lit(n)), F.lit(0)).cast("int")
+    hole — Spark's xxhash64 hashes a NULL input to a real value.
+
+    Sign semantics: `%` (sign-of-dividend), NOT pmod — every oracle replay
+    uses DuckDB's `%`, which keeps the sign of the dividend (-5 % 64 = -5),
+    while pmod would map a negative key to 59 and silently diverge
+    engine-vs-oracle (ADVICE r5). Negative buckets fall outside the
+    verdict matrix's fast observed 0..n-1 range; the suite detects them
+    via an observed residual count and falls back to the exact
+    bucket-count scan (see ValidationSuite.run)."""
+    return F.coalesce(F.col(col) % F.lit(n), F.lit(0)).cast("int")
 
 
 def events_suite(n_buckets: int = 64) -> ValidationSuite:

@@ -412,6 +412,14 @@ def resize_raw(df: DataFrame, out_w: int = 6, out_h: int = 5) -> DataFrame:
                 w = (b[4] << 8) | b[5]
                 h = (b[6] << 8) | b[7]
                 c = b[8]
+                # malformed RAW1 (zero dims, or a buffer shorter than the
+                # declared w*h*c) must yield the documented honest stub row,
+                # not a ValueError/IndexError that kills the whole job —
+                # truncated blobs are inevitable in an arbitrary corpus
+                # (ADVICE r5)
+                if w <= 0 or h <= 0 or c <= 0 or len(b) < 9 + w * h * c:
+                    rows.append((aid, None, None, None, None, None, "stub"))
+                    continue
                 pix = np.frombuffer(b, dtype=np.uint8, count=w * h * c, offset=9)
                 src = pix.reshape(h, w, c)
                 out = src[(ys * h) // out_h][:, (xs * w) // out_w]

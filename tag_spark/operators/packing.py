@@ -60,35 +60,37 @@ def chunk_documents(
     """
     if not 0 < stride <= chunk_size:
         # stride > chunk_size would leave token gaps between chunks and
-        # break the per-word owning-chunk interval below (empty sequence)
+        # break the chunk-count formula below
         raise ValueError(f"require 0 < stride <= chunk_size, got stride={stride} chunk_size={chunk_size}")
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
-    # explode ONCE (pos, word); posexplode on the computed array keeps the
-    # split to a single evaluation per document
-    tok = (
-        df.select(F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos", "w"))
+    # ROW-LOCAL chunking, zero shuffle: the token array is materialized once
+    # per document (a named Project column — the per-chunk slice below
+    # references the ATTRIBUTE, so CollapseProject cannot re-inline the
+    # split per chunk), chunk ids explode from a guarded sequence (n=0 docs
+    # yield NULL → no rows; an unguarded sequence(0,-1) counts DOWN under
+    # ANSI), and each chunk is a slice + concat + md5 of its own row's
+    # array. This replaces the word-level explode → exchange on
+    # (doc, chunk) → collect_list + array_sort reassembly: every word
+    # string crossed that shuffle ~chunk/stride times and every chunk paid
+    # a sort — now nothing is shuffled at all. Row-local cost is bounded by
+    # (n_words/stride) slices of the shared array per doc; for pathological
+    # multi-100k-token documents the array copy per slice makes this
+    # O(n²/stride) bytes of task-local work — still no exchange, no skew.
+    n_chunks = F.ceil(F.size("__w") / F.lit(stride))
+    chunks = df.select(F.col(id_col).alias("doc_id"), words.alias("__w")).select(
+        "doc_id",
+        "__w",
+        F.explode(
+            F.when(F.size("__w") > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        ).alias("chunk_idx"),
     )
-    # word at position p belongs to chunks k with k*stride <= p < k*stride+chunk_size:
-    # k in [max(0, ceil((p-chunk_size+1)/stride)), floor(p/stride)] — never
-    # empty while stride <= chunk_size (the guard above), so the ANSI
-    # sequence() never counts down
-    k_lo = F.greatest(F.lit(0), F.ceil((F.col("pos") - chunk_size + 1) / F.lit(stride))).cast("int")
-    k_hi = F.floor(F.col("pos") / F.lit(stride)).cast("int")
-    member = tok.select(
-        "doc_id", "pos", "w", F.explode(F.sequence(k_lo, k_hi)).alias("chunk_idx")
-    )
-    # ONE shuffle on (doc, chunk); collect_list order is non-deterministic,
-    # array_sort on (pos, w) structs restores it exactly (pos is unique)
-    return (
-        member.groupBy("doc_id", "chunk_idx")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("ws"))
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.size("ws").cast("long").alias("n_tokens"),
-            F.md5(F.concat_ws(" ", F.transform("ws", lambda s: s["w"]))).alias("chunk_md5"),
-        )
+    sl = F.slice(F.col("__w"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_size)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
     )
 
 
@@ -113,10 +115,13 @@ def pack_token_stream(
     are ONE bounded driver collect (≤ n_buckets rows); the broadcast
     prefix joins back on bucket id. No global single-partition sort.
     """
+    # persisted: (doc_id, n) is consumed by the per-bucket totals pass AND
+    # the final window pass — without the persist each pass re-tokenizes
+    # (re-splits) every document's text, which dominates the scan
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n"),
-    )
+    ).persist()
     # deterministic monotone bucketing over the id range: ids need not be
     # dense, only orderable; an empty table short-circuits (min/max null)
     lo_hi = base.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
@@ -127,7 +132,15 @@ def pack_token_stream(
         )
     lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
     span = max(1, hi - lo + 1)
-    bucket = F.least(F.lit(n_buckets - 1), F.floor((F.col("doc_id") - lo) * F.lit(n_buckets) / F.lit(span))).cast("int")
+    # bucket arithmetic in DOUBLE from the start: (doc_id - lo) * n_buckets
+    # as 64-bit integers raises ARITHMETIC_OVERFLOW under ANSI mode once the
+    # id span exceeds ~2^63/n_buckets; double rounding preserves the only
+    # property the bucket id needs (monotone in doc_id) and cannot overflow
+    # (ADVICE r5)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("doc_id").cast("double") - F.lit(float(lo))) * F.lit(float(n_buckets)) / F.lit(float(span))),
+    ).cast("int")
     b = base.withColumn("__b", bucket)
     # phase 1: per-bucket totals -> driver (bounded by n_buckets) -> prefix
     totals = {r["__b"]: r["t"] for r in b.groupBy("__b").agg(F.sum("n").alias("t")).collect()}

@@ -85,7 +85,13 @@ def bm25_topk(
     `term_frequencies` output via `tf=` to skip re-tokenizing the corpus.
     """
     terms = sorted(set(query_terms))
-    base = docs.select(F.col(id_col).alias("doc_id"), doc_length(text_col).alias("dl")).filter(F.col("dl") > 0)
+    # persisted: (doc_id, dl) feeds both the scalar stats aggregate and the
+    # per-doc join — un-persisted, each consumer re-splits the corpus text
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), doc_length(text_col).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .persist()
+    )
     # one scalar row (partial agg) — broadcast, never collected
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     if tf is None:

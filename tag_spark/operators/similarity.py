@@ -58,18 +58,17 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10, id_col: str 
     )
 
 
-def cosine_topk_batch(
+def _cosine_topk_batch_jvm(
     df: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "embedding",
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
 ) -> DataFrame:
-    """Exact batched top-k: broadcast the query set across the corpus scan
-    (n·n_queries cosines) with a per-query window. The brute-force baseline
-    the ANN indexes are measured against."""
+    """Expression-based batched top-k (fallback): broadcast crossJoin + HOF
+    cosine + per-query window. Exact for any id type / ragged dims."""
     qx = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv"))
     cand = df.crossJoin(F.broadcast(qx)).select(
         "qid", F.col(id_col), F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cos_sim")
@@ -79,6 +78,182 @@ def cosine_topk_batch(
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(F.col("qid").alias(query_id_col), id_col, "cos_sim")
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batched top-k — the brute-force baseline the ANN indexes are
+    measured against.
+
+    Arrow-kernel implementation (guide §4.2): the query matrix is collected
+    once (the query set is small by contract — the previous shape broadcast
+    it anyway) and corpus partitions stream through ``mapInArrow``; each
+    batch computes every dot product with a STRICT per-dimension left fold
+    (acc starts at 0.0 and adds x_d·q_d in element order — bit-identical
+    IEEE arithmetic to the JVM zip_with/aggregate fold), zero/NULL/ragged
+    vectors yield NULL exactly like ``cosine``, and ROUNDING STAYS IN
+    CATALYST (F.round on the kernel's raw doubles), so the result is
+    byte-identical to the expression path (asserted in tests). Each batch
+    emits only rows that can still reach the global rounded top-k
+    (raw >= batch k-th best − 2 rounding quanta — an excluded row is then
+    strictly below k surviving rows even after rounding), so the final
+    exact window runs on ~k rows per (query, partition) instead of
+    n·n_queries. Falls back to the expression path for non-integral id
+    columns or a ragged/NULL-bearing query set; a corpus batch containing
+    a NULL id is emitted unpruned (still exact)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    if id_t not in ("bigint", "int") or qid_t not in ("bigint", "int"):
+        return _cosine_topk_batch_jvm(df, queries, k, id_col, vec_col, query_id_col, query_vec_col)
+    qrows = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")).collect()
+    dims = {len(r["qv"]) for r in qrows if r["qv"] is not None}
+    if (
+        len(qrows) == 0
+        or len(dims) != 1
+        or any(r["qv"] is None for r in qrows)
+        or any(r["qid"] is None for r in qrows)
+    ):
+        return _cosine_topk_batch_jvm(df, queries, k, id_col, vec_col, query_id_col, query_vec_col)
+    import numpy as np
+
+    dim = dims.pop()
+    qids = [int(r["qid"]) for r in qrows]
+    Q = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+    # query norms with the same sequential fold the JVM _norm performs
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([("qid", pa.int64()), ("vid", pa.int64()), ("cos_raw", pa.float64())])
+        nq = len(qids)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            vecs = b.column(1).to_pylist()
+            if any(i is None for i in ids):
+                # NULL ids break the int64 fast path and the id-ordered null
+                # caps — emit this batch UNPRUNED (exact; the downstream
+                # window handles it like the expression path would)
+                o_qid, o_vid, o_cos = [], [], []
+                for i, v in enumerate(vecs):
+                    ok = v is not None and len(v) == dim and not any(t is None for t in v)
+                    if ok:
+                        x = [float(t) for t in v]
+                        xn1 = 0.0
+                        for t in x:
+                            xn1 = xn1 + t * t
+                        xn1 = float(np.sqrt(xn1))  # same correctly-rounded sqrt as JVM Math.sqrt
+                    for j in range(nq):
+                        c = None
+                        if ok:
+                            acc1 = 0.0
+                            for d in range(dim):
+                                acc1 = acc1 + x[d] * Q[j, d]
+                            den1 = qn[j] * xn1
+                            c = (acc1 / den1) if den1 != 0.0 else None
+                        o_qid.append(qids[j])
+                        o_vid.append(ids[i])
+                        o_cos.append(c)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_qid, type=pa.int64()),
+                        pa.array(o_vid, type=pa.int64()),
+                        pa.array(o_cos, type=pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+                continue
+            good_idx, bad_idx = [], []
+            for i, v in enumerate(vecs):
+                # a NULL element inside the vector NULLs the whole cosine on
+                # the JVM path (null product poisons the fold) — same here
+                ok = v is not None and len(v) == dim and not any(t is None for t in v)
+                (good_idx if ok else bad_idx).append(i)
+            o_qid, o_vid, o_cos = [], [], []
+            if good_idx:
+                X = np.array([vecs[i] for i in good_idx], dtype=np.float64)
+                gids = np.asarray([ids[i] for i in good_idx], dtype=np.int64)
+                # strict left fold per (row, query): bit-identical to the
+                # JVM aggregate fold (0.0 + x0*q0 + x1*q1 + ...)
+                acc = np.zeros((len(good_idx), nq), dtype=np.float64)
+                xn = np.zeros(len(good_idx), dtype=np.float64)
+                for d in range(dim):
+                    xd = X[:, d]
+                    acc += xd[:, None] * Q[None, :, d]
+                    xn += xd * xd
+                xn = np.sqrt(xn)
+                den = qn[None, :] * xn[:, None]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / den
+                nullm = den == 0.0  # try_divide semantics: /0 -> NULL
+                for j in range(nq):
+                    cj = cos[:, j]
+                    okm = ~nullm[:, j]
+                    vals = cj[okm]
+                    if len(vals) > k:
+                        thr = np.partition(vals, len(vals) - k)[len(vals) - k] - 2e-6
+                        keep = okm & (cj >= thr)
+                    else:
+                        keep = okm
+                    kept = np.nonzero(keep)[0]
+                    o_qid.append(np.full(len(kept), qid_arr[j], dtype=np.int64))
+                    o_vid.append(gids[kept])
+                    o_cos.append(cj[kept])
+                    # NULL-cosine rows (zero norms) can still reach the
+                    # top-k when a query has < k real candidates; the k
+                    # smallest ids per batch dominate any others
+                    nulls = np.nonzero(nullm[:, j])[0]
+                    if len(nulls):
+                        nids = np.sort(gids[nulls])[:k]
+                        o_qid.append(np.full(len(nids), qid_arr[j], dtype=np.int64))
+                        o_vid.append(nids)
+                        o_cos.append(np.full(len(nids), np.nan))
+            if bad_idx:
+                # ragged/NULL corpus vectors -> NULL cosine for every query
+                bids = sorted(int(ids[i]) for i in bad_idx if ids[i] is not None)[:k]
+                for j in range(nq):
+                    o_qid.append(np.full(len(bids), qid_arr[j], dtype=np.int64))
+                    o_vid.append(np.asarray(bids, dtype=np.int64))
+                    o_cos.append(np.full(len(bids), np.nan))
+            if not o_qid:
+                continue
+            qv_all = np.concatenate(o_qid)
+            vid_all = np.concatenate(o_vid)
+            cos_all = np.concatenate(o_cos)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qv_all, type=pa.int64()),
+                    pa.array(vid_all, type=pa.int64()),
+                    pa.array(cos_all, type=pa.float64(), from_pandas=True),  # NaN -> NULL
+                ],
+                schema=out_schema,
+            )
+
+    raw = df.select(F.col(id_col).cast("long"), F.col(vec_col)).mapInArrow(
+        kernel, "qid long, vid long, cos_raw double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vid"))
+    return (
+        raw.select("qid", "vid", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("qid").cast(qid_t).alias(query_id_col),
+            F.col("vid").cast(id_t).alias(id_col),
+            "cos_sim",
+        )
     )
 
 

@@ -43,6 +43,9 @@ from tag_spark.operators.checks import (
 )
 from tag_spark.schema import N_BUCKETS
 
+# element type of the compact fail arrays (needed to type empty literals)
+_FAIL_ARR_TYPE = "array<struct<check_id:string,severity:string,column:string,reason:string>>"
+
 
 @dataclass
 class ValidationResult:
@@ -113,20 +116,34 @@ class ValidationSuite:
         for c in ref_checks:
             work = c.prejoin(work)
 
-        def fail_struct(c: Check) -> Column:
+        def fails_array(checks: list[Check]) -> Column:
             # a row passes only when the predicate is literally TRUE: a NULL
-            # predicate (e.g. Conditional's `then` over NULL operands, or
-            # allow_null=False bounds over NULL values) is a violation, not a
-            # silent pass — matching SQL-oracle NOT coalesce(pred, FALSE)
-            return F.when(
-                ~F.coalesce(c.predicate(work), F.lit(False)),
-                F.struct(
-                    F.lit(c.check_id).alias("check_id"),
-                    F.lit(c.severity).alias("severity"),
-                    (F.lit(c.column) if c.column else F.lit(None)).cast("string").alias("column"),
-                    c.reason().alias("reason"),
-                ),
-            )
+            # predicate (e.g. Conditional's `then` over NULL operands) is a
+            # violation, not a silent pass — matching SQL-oracle
+            # NOT coalesce(pred, FALSE).
+            # COMPACT fail array with no lambda: concat of per-check
+            # conditional single-element arrays. An all-pass row yields an
+            # empty array — instead of n_checks null struct slots (~8 B/slot
+            # of UnsafeArrayData, most of the per-row shuffle payload on
+            # clean tables). Deliberately NOT F.filter/array_compact: any
+            # lambda-bearing collection op is CodegenFallback, which drags
+            # the whole fail-struct subtree (predicates, reason concats,
+            # regexes) into interpreted eval — measured 2.2x on the
+            # no-shuffle bucketed suite.
+            parts = [
+                F.when(F.coalesce(c.predicate(work), F.lit(False)), F.array().cast(_FAIL_ARR_TYPE)).otherwise(
+                    F.array(
+                        F.struct(
+                            F.lit(c.check_id).alias("check_id"),
+                            F.lit(c.severity).alias("severity"),
+                            (F.lit(c.column) if c.column else F.lit(None)).cast("string").alias("column"),
+                            c.reason().alias("reason"),
+                        )
+                    )
+                )
+                for c in checks
+            ]
+            return parts[0] if len(parts) == 1 else F.concat(*parts)
 
         # columns the window stage still needs after stage 1
         lean_cols: set[str] = set(carry_cols)
@@ -134,13 +151,21 @@ class ValidationSuite:
             lean_cols |= {col for col in c.referenced_cols() if col != "__sha1"}
         lean_cols -= {conv_col, idx_col}
 
+        # __sha1 travels as BINARY (20 bytes) through the exchange and the
+        # window sort — half the hex string's 40 bytes; binary and hex sort
+        # identically (hex encoding is byte-order-preserving), and only the
+        # (small) violating output pays the hex re-encode. The row-fail
+        # array is COMPACTED (nulls dropped) before the shuffle: an
+        # all-pass row then ships an empty array instead of n_checks null
+        # struct slots (~8 B/slot of UnsafeArrayData), which is most of the
+        # per-row shuffle payload on clean tables (guide §2.3).
         stage1 = work.select(
             F.col(conv_col),
             F.col(idx_col),
             *[F.col(c) for c in sorted(lean_cols)],
-            turn_sha1(conv_col, idx_col, self.hash_col).alias("__sha1"),
+            F.unhex(turn_sha1(conv_col, idx_col, self.hash_col)).alias("__sha1"),
             self.bucket_fn(conv_col, self.n_buckets).alias("bucket_id"),
-            F.array(*[fail_struct(c) for c in row_checks]).alias("__rowfails"),
+            fails_array(row_checks).alias("__rowfails"),
         )
 
         if observe is not None:
@@ -150,22 +175,36 @@ class ValidationSuite:
             stage1 = stage1.observe(
                 observe,
                 *[F.count(F.when(F.col("bucket_id") == i, 1)).alias(f"b{i}") for i in range(self.n_buckets)],
+                # rows whose bucket falls outside 0..n-1 (a sign-preserving
+                # mod_bucket over negative keys): when present, run() must
+                # abandon the fixed-range fast path and count buckets from
+                # the data, or those rows would vanish from rows_checked
+                F.count(F.when(~F.col("bucket_id").between(0, self.n_buckets - 1), 1)).alias("b_other"),
             )
 
         if window_checks and shuffle_for_windows:
             stage1 = stage1.repartition(F.col(conv_col))
 
         # window expressions must be projected BEFORE the generator consumes
-        # them (Spark can't evaluate windows inside explode's child expr)
+        # them (Spark can't evaluate windows inside explode's child expr).
+        # Each check's distinct window expressions are projected ONCE by
+        # name (window_cols): Catalyst extracts one evaluated column per
+        # OCCURRENCE of a raw window expression (no dedup), so embedding
+        # them in predicate+reason evaluated e.g. 6 identical lag()s per
+        # row; the named projection collapses that to one per expression.
         carries = [F.col(c) for c in carry_cols]
         if window_checks:
-            stage2 = stage1.select(
+            wcols: dict = {}
+            for c in window_checks:
+                wcols.update(c.window_cols())
+            src = stage1.select("*", *[e.alias(n) for n, e in wcols.items()]) if wcols else stage1
+            stage2 = src.select(
                 F.col(conv_col),
                 F.col(idx_col),
                 *carries,
                 F.col("__sha1"),
                 F.col("bucket_id"),
-                F.concat(F.col("__rowfails"), F.array(*[fail_struct(c) for c in window_checks])).alias("__fails"),
+                F.concat(F.col("__rowfails"), fails_array(window_checks)).alias("__fails"),
             )
         else:
             stage2 = stage1.withColumnRenamed("__rowfails", "__fails")
@@ -177,7 +216,9 @@ class ValidationSuite:
                 *carries,
                 F.col("__sha1"),
                 F.col("bucket_id"),
-                F.explode(F.filter(F.col("__fails"), lambda x: x.isNotNull())).alias("__f"),
+                # __fails is already compact (fails_array) — explode of an
+                # empty array emits no rows, exactly the old filter+explode
+                F.explode(F.col("__fails")).alias("__f"),
             )
             .select(
                 F.col("__f.check_id").alias("check_id"),
@@ -186,7 +227,7 @@ class ValidationSuite:
                 F.col(idx_col).alias("turn_idx"),
                 F.col("__f.column").alias("column"),
                 F.col("__f.reason").alias("reason"),
-                F.col("__sha1").alias("text_sha1"),
+                F.lower(F.hex(F.col("__sha1"))).alias("text_sha1"),
                 F.col("bucket_id"),
                 *carries,
             )
@@ -235,6 +276,11 @@ class ValidationSuite:
         violations.count()  # one action: materializes the cache + the metrics
         try:
             row = obs.get
+            if row.get("b_other", 0) > 0:
+                # out-of-range buckets exist (negative keys under a
+                # sign-preserving bucket fn): the fixed 0..n-1 metric list
+                # cannot enumerate them — fall back to the exact scan
+                raise ValueError("bucket ids outside 0..n-1; exact bucket-count scan required")
             counts = [(i, row[f"b{i}"]) for i in range(self.n_buckets) if row[f"b{i}"] > 0]
             bucket_counts = df.sparkSession.createDataFrame(counts, "bucket_id int, rows_checked long")
         except Exception:

@@ -137,15 +137,17 @@ def test_dedup_pair_oracles_hold_on_generated_corpora(spark, tmp_path):
 
 
 def _events_corpus(seed: int, n: int = 150):
-    """Generated event stream: few hot users (plus NULL user), a 2-hour ts
-    span so 30-min session gaps and 1-hour range windows both trigger,
-    NULL timestamps/values, and PLANTED exact-(user, ts) ties so every
-    tie-break rule is exercised."""
+    """Generated event stream: few hot users (plus NULL user AND NEGATIVE
+    users — sign-of-dividend `%` bucketing must match the oracle's DuckDB
+    `%`, the r5 ADVICE parity class: -5 % 64 = -5 in both, where pmod gave
+    59), a 2-hour ts span so 30-min session gaps and 1-hour range windows
+    both trigger, NULL timestamps/values, and PLANTED exact-(user, ts)
+    ties so every tie-break rule is exercised."""
     rng = random.Random(seed)
     base = 1_700_000_000
     rows = []
     for i in range(n):
-        user = rng.choice([None, 1, 2, 3, 7])
+        user = rng.choice([None, 1, 2, 3, 7, -5, -130])
         ts = None if rng.random() < 0.05 else base + rng.randint(0, 7200)
         etype = rng.choice(["click", "error", "view", "purchase", None])
         value = rng.choice([None, -1.5, 0.0, 2.25, 10.0])

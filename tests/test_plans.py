@@ -54,14 +54,15 @@ def test_scan_column_pruning_and_filter_pushdown(spark):
 def test_chunking_splits_text_once(spark):
     """chunk_documents must not fan the computed words array into per-chunk
     re-splits (CLAUDE.md CollapseProject rule): the plan carries exactly one
-    split() of the text column, and ONE fact exchange (the doc,chunk
-    groupBy)."""
+    split() of the text column — and since the r6 row-local rewrite (slice
+    per chunk id over the materialized token array) it must carry NO
+    exchange at all: chunking is a pure per-document projection."""
     from tag_spark.operators.packing import chunk_documents
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(chunk_documents(d))
     assert plan.count("split(") == 1, f"text re-split per consumer:\n{plan}"
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") == 0, plan
 
 
 def test_packing_no_global_single_partition_sort(spark):

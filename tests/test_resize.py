@@ -44,10 +44,18 @@ def test_resize_matches_python_replay(spark):
 
 def test_resize_non_raw_payload_is_honest_stub(spark):
     df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\nnot-raw"), (2, None), (3, b"RAW")],  # short/other/null
+        [
+            (1, b"\x89PNG\r\n\x1a\nnot-raw"),  # other format
+            (2, None),  # null
+            (3, b"RAW"),  # short
+            # RAW1 magic but buffer shorter than the declared 4x3x1 pixels
+            (4, RAW_MAGIC + struct.pack(">HHB", 4, 3, 1) + b"\x01\x02"),
+            # RAW1 magic with declared zero width
+            (5, RAW_MAGIC + struct.pack(">HHB", 0, 3, 1)),
+        ],
         "asset_id long, payload binary",
     )
     rows = {r["asset_id"]: r for r in resize_raw(df).collect()}
-    for aid in (1, 2, 3):
+    for aid in (1, 2, 3, 4, 5):
         assert rows[aid]["resizer"] == "stub"
         assert rows[aid]["resized"] is None

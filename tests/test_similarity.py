@@ -116,6 +116,38 @@ def test_batched_ann_matches_exact_batch(emb, spark):
     assert got_ivf == exact
 
 
+def test_arrow_batch_topk_is_byte_identical_to_expression_path(emb, spark):
+    """The r6 Arrow-kernel cosine_topk_batch must reproduce the JVM
+    expression path EXACTLY — same rows, same double bits (the kernel's
+    per-dimension left fold and NULL semantics are bit-compatible and the
+    rounding stays in Catalyst) — including zero-norm (NULL cosine) and
+    ragged adversarial vectors."""
+    from pyspark.sql import functions as F
+
+    from tag_spark.operators.similarity import _cosine_topk_batch_jvm, cosine_topk_batch
+
+    adv = spark.createDataFrame(
+        [(100001, [0.0] * 64), (100002, [1.0] * 63), (100003, None)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(adv)
+    queries = corpus.filter("vec_id % 17 = 1 or vec_id > 100000").filter("embedding is not null").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # ragged query set -> the function itself falls back, so force both paths
+    got = sorted(
+        (r.query_id, r.vec_id, repr(r.cos_sim))
+        for r in cosine_topk_batch(corpus, queries.filter("query_id <= 100001"), k=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, repr(r.cos_sim))
+        for r in _cosine_topk_batch_jvm(
+            corpus, queries.filter("query_id <= 100001"), 5, "vec_id", "embedding", "query_id", "embedding"
+        ).collect()
+    )
+    assert got == want
+
+
 def test_ivf_index_rebuilds_on_stale_path(emb, qvec, tmp_path):
     """A path built from DIFFERENT data must be rebuilt, not silently
     reused with fresh centroids (probes would hit the wrong cells)."""
