@@ -99,67 +99,85 @@ def salted_order_violations(
     # phase 3: windows over (conv, block) — bounded task size. The orderBy
     # mirrors the unsalted suite's unified (idx, ts, sha1) ordering so dup
     # ties resolve identically; carry rows sort last within a tie.
+    # Window expressions are projected ONCE as named columns before the
+    # fail structs reference them: Catalyst extracts one evaluated window
+    # column per OCCURRENCE (same rule the main suite works around —
+    # embedding these in the fail array evaluated lag() ~6x per row).
     w = Window.partitionBy("__conv", "__block").orderBy("__idx", "__ts", "__sha1", "__carry")
-    prev_idx = F.lag("__idx").over(w)
-    prev_ts = F.lag("__ts").over(w)
     # duplicate counts must ignore carries (a carry duplicates its source key)
     wk = Window.partitionBy("__conv", "__idx")
-    dup_n = F.sum(F.when(~F.col("__carry"), 1).otherwise(0)).over(wk)
     # carries share their source row's (conv, idx): sort them last so real
     # rows' dup ranks are unaffected by the injected boundary copies
     wko = Window.partitionBy("__conv", "__idx").orderBy("__carry", "__ts", "__sha1")
-    dup_rank = F.row_number().over(wko) - 1
+    salted = salted.select(
+        "*",
+        F.lag("__idx").over(w).alias("__prev_idx"),
+        F.lag("__ts").over(w).alias("__prev_ts"),
+        F.sum(F.when(~F.col("__carry"), 1).otherwise(0)).over(wk).alias("__dup_n"),
+        (F.row_number().over(wko) - 1).alias("__dup_rank"),
+    )
+    prev_idx = F.col("__prev_idx")
+    prev_ts = F.col("__prev_ts")
+    dup_n = F.col("__dup_n")
+    dup_rank = F.col("__dup_rank")
 
     # true global first row = first row of the conv's first block: no carry
-    # precedes it; elsewhere prev is non-null by construction (carry injected)
-    fails = [
-        F.when(
-            dup_n > 1,
-            F.struct(
-                F.lit("unique_turn").alias("check_id"),
-                F.lit("error").alias("severity"),
-                F.lit(None).cast("string").alias("column"),
-                F.concat(F.lit("duplicate key (conv_id,turn_idx) rank="), dup_rank.cast("string")).alias("reason"),
+    # precedes it; elsewhere prev is non-null by construction (carry injected).
+    # Compact fail array via concat of conditional single-element arrays —
+    # no lambda (F.filter is CodegenFallback and would drag the whole fail
+    # subtree into interpreted eval; same fix as the main suite).
+    _arr_t = "array<struct<check_id:string,severity:string,column:string,reason:string>>"
+
+    def _fail(cond, check_id, column, reason):
+        return F.when(
+            cond,
+            F.array(
+                F.struct(
+                    F.lit(check_id).alias("check_id"),
+                    F.lit("error").alias("severity"),
+                    (F.lit(column) if column else F.lit(None)).cast("string").alias("column"),
+                    reason.alias("reason"),
+                )
             ),
+        ).otherwise(F.array().cast(_arr_t))
+
+    fails = F.concat(
+        _fail(
+            dup_n > 1,
+            "unique_turn",
+            None,
+            F.concat(F.lit("duplicate key (conv_id,turn_idx) rank="), dup_rank.cast("string")),
         ),
-        F.when(
+        _fail(
             ~(
                 (prev_idx.isNotNull() | (F.col("__idx") == 0))
                 & (prev_idx.isNull() | (F.col("__idx") == prev_idx + 1) | (F.col("__idx") == prev_idx))
             ),
-            F.struct(
-                F.lit("turn_contiguous").alias("check_id"),
-                F.lit("error").alias("severity"),
-                F.lit(None).cast("string").alias("column"),
-                F.when(
-                    prev_idx.isNull(),
-                    F.concat(F.lit("sequence must start at 0, got "), F.col("__idx").cast("string")),
-                )
-                .otherwise(F.concat(F.lit("sequence gap: "), prev_idx.cast("string"), F.lit(" -> "), F.col("__idx").cast("string")))
-                .alias("reason"),
+            "turn_contiguous",
+            None,
+            F.when(
+                prev_idx.isNull(),
+                F.concat(F.lit("sequence must start at 0, got "), F.col("__idx").cast("string")),
+            ).otherwise(
+                F.concat(F.lit("sequence gap: "), prev_idx.cast("string"), F.lit(" -> "), F.col("__idx").cast("string"))
             ),
         ),
-        F.when(
+        _fail(
             ~(prev_ts.isNull() | F.col("__ts").isNull() | (F.col("__ts") >= prev_ts)),
-            F.struct(
-                F.lit("ts_monotone").alias("check_id"),
-                F.lit("error").alias("severity"),
-                F.lit("ts").cast("string").alias("column"),
-                F.concat(F.lit("ts regressed: "), prev_ts.cast("string"), F.lit(" -> "), F.col("__ts").cast("string")).alias(
-                    "reason"
-                ),
-            ),
+            "ts_monotone",
+            "ts",
+            F.concat(F.lit("ts regressed: "), prev_ts.cast("string"), F.lit(" -> "), F.col("__ts").cast("string")),
         ),
-    ]
+    )
 
     return (
-        salted.withColumn("__fails", F.array(*fails))
+        salted.withColumn("__fails", fails)
         .filter(~F.col("__carry"))
         .select(
             "__conv",
             "__idx",
             "__sha1",
-            F.explode(F.filter(F.col("__fails"), lambda x: x.isNotNull())).alias("__f"),
+            F.explode(F.col("__fails")).alias("__f"),
         )
         .select(
             F.col("__f.check_id").alias("check_id"),
