@@ -134,17 +134,22 @@ def ngram_jaccard_pairs(
         ).alias(f"bm{w}")
         for w in range(4)
     ]
+    # shingle hashes computed in the codegen'd row projection, not in a
+    # per-element transform lambda after the collect (higher-order
+    # functions evaluate interpreted); the array_sort key is unchanged —
+    # (f, sh) leads the struct, h just rides along
     docs_arr = (
-        capped.groupBy("id")
+        capped.withColumn("__h", F.xxhash64(F.col("sh")))
+        .groupBy("id")
         .agg(
-            F.array_sort(F.collect_list(F.struct(F.col("f"), F.col("sh")))).alias("__fsh"),
+            F.array_sort(F.collect_list(F.struct(F.col("f"), F.col("sh"), F.col("__h")))).alias("__fsh"),
             F.count(F.lit(1)).alias("n_sh"),
             *bm_aggs,
         )
         .select(
             "id",
             F.transform(F.col("__fsh"), lambda s: s["sh"]).alias("shs"),
-            F.transform(F.col("__fsh"), lambda s: F.xxhash64(s["sh"])).alias("hord"),
+            F.transform(F.col("__fsh"), lambda s: s["__h"]).alias("hord"),
             "n_sh",
             *[f"bm{w}" for w in range(4)],
         )
