@@ -257,6 +257,188 @@ def cosine_topk_batch(
     )
 
 
+def _collect_query_matrix(queries: DataFrame, query_id_col: str, query_vec_col: str, dim: int):
+    """Collect the (small-by-contract) query set as (qid_type, id list,
+    float64 matrix) for the Arrow rerank kernels. Returns None when the
+    fast path's preconditions fail — non-integral query ids, an empty set,
+    or any NULL / ragged / NULL-element query vector — in which case the
+    caller uses its expression-based JVM shape (whose lazy semantics those
+    edge cases already define)."""
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    if qid_t not in ("bigint", "int"):
+        return None
+    qrows = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")).collect()
+    if not qrows or any(
+        r["qid"] is None or r["qv"] is None or len(r["qv"]) != dim or any(t is None for t in r["qv"])
+        for r in qrows
+    ):
+        return None
+    import numpy as np
+
+    qids = [int(r["qid"]) for r in qrows]
+    Q = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+    return qid_t, qids, Q
+
+
+def _rerank_topk_arrow(
+    cand: DataFrame,
+    qids: list[int],
+    Q,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    id_t: str,
+    qid_t: str,
+) -> DataFrame:
+    """Exact cosine re-rank + per-query top-k over candidate rows
+    (qid long, vid long, v array) against a collected query matrix — the
+    shared tail of the ANN batch paths (guide §4.2). Byte-identical to the
+    expression shape ``round(cosine(qv, v), 6)`` + window: dot products and
+    norms use the STRICT per-dimension left fold (acc + x_d·q_d in element
+    order — the JVM zip_with/aggregate arithmetic), zero-norm → NULL
+    (try_divide), NULL/ragged/NULL-element corpus vectors → NULL, and
+    rounding stays in Catalyst. Per (batch, qid) only rows that can still
+    reach the global rounded top-k are emitted (raw >= batch k-th best − 2
+    rounding quanta: an excluded row is strictly below k same-batch rows
+    even after 6dp rounding), plus the k id-smallest NULL-cosine rows; a
+    batch containing NULL candidate ids is emitted unpruned (still exact,
+    and the window's asc-NULLS-FIRST id ordering matches the JVM path)."""
+    import numpy as np
+
+    dim = Q.shape[1]
+    # query norms with the same sequential fold the JVM _norm performs
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+    order = np.argsort(np.asarray(qids, dtype=np.int64), kind="stable")
+    sq = np.asarray(qids, dtype=np.int64)[order]
+    Qs = Q[order]
+    qns = qn[order]
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema([("qid", pa.int64()), ("vid", pa.int64()), ("cos_raw", pa.float64())])
+
+        def row_cos(v, jrow):
+            # strict left fold, one row — identical arithmetic to the
+            # vectorized path and the JVM fold
+            if v is None or len(v) != dim or any(t is None for t in v):
+                return None
+            acc1 = 0.0
+            xn1 = 0.0
+            for d in range(dim):
+                x = float(v[d])
+                acc1 = acc1 + x * Qs[jrow, d]
+                xn1 = xn1 + x * x
+            den1 = qns[jrow] * float(np.sqrt(xn1))
+            return (acc1 / den1) if den1 != 0.0 else None
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            qcol, vidcol, vcol = b.column(0), b.column(1), b.column(2)
+            qid_np = qcol.to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(sq, qid_np)  # every qid exists: cand came from an equi-join on the query set
+            if vidcol.null_count > 0:
+                # NULL candidate ids break the int64 path and the id-ordered
+                # null caps — emit this batch UNPRUNED (exact; the window
+                # handles it like the expression path would)
+                vids = vidcol.to_pylist()
+                vecs = vcol.to_pylist()
+                cos_l = [row_cos(vecs[i], pos[i]) for i in range(n)]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([int(q) for q in qid_np], type=pa.int64()),
+                        pa.array(vids, type=pa.int64()),
+                        pa.array(cos_l, type=pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+                continue
+            vid_np = vidcol.to_numpy(zero_copy_only=False).astype(np.int64)
+            Qrow = Qs[pos]
+            qn_row = qns[pos]
+            cos = None
+            lens = pc.list_value_length(vcol)
+            if vcol.null_count == 0 and pc.min(lens).as_py() == dim and pc.max(lens).as_py() == dim:
+                flat = vcol.flatten()
+                if flat.null_count == 0:
+                    X = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
+                    # strict left fold per row: acc = ((0 + x0·q0) + x1·q1) + ...
+                    acc = np.zeros(n, dtype=np.float64)
+                    xn = np.zeros(n, dtype=np.float64)
+                    for d in range(dim):
+                        xd = X[:, d]
+                        acc += xd * Qrow[:, d]
+                        xn += xd * xd
+                    xn = np.sqrt(xn)
+                    den = qn_row * xn
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(den == 0.0, np.nan, acc / den)
+            if cos is None:
+                # NULL/ragged/NULL-element corpus vectors in this batch:
+                # row-wise with identical arithmetic, NULL (NaN) where the
+                # JVM zip_with/try_divide would be NULL
+                vecs = vcol.to_pylist()
+                cos = np.full(n, np.nan, dtype=np.float64)
+                for i in range(n):
+                    c = row_cos(vecs[i], pos[i])
+                    if c is not None:
+                        cos[i] = c
+            o_qid, o_vid, o_cos = [], [], []
+            for u in np.unique(qid_np):
+                sel = np.nonzero(qid_np == u)[0]
+                cj = cos[sel]
+                vj = vid_np[sel]
+                okm = ~np.isnan(cj)
+                vals = cj[okm]
+                if len(vals) > k:
+                    thr = np.partition(vals, len(vals) - k)[len(vals) - k] - 2e-6
+                    keep = okm & (cj >= thr)
+                else:
+                    keep = okm
+                kept = np.nonzero(keep)[0]
+                o_qid.append(np.full(len(kept), u, dtype=np.int64))
+                o_vid.append(vj[kept])
+                o_cos.append(cj[kept])
+                # NULL-cosine rows can still reach the top-k when a query
+                # has < k real candidates; the k id-smallest per batch
+                # dominate any others (same NULL key, smaller tie-break id)
+                nulls = np.nonzero(~okm)[0]
+                if len(nulls):
+                    nids = np.sort(vj[nulls])[:k]
+                    o_qid.append(np.full(len(nids), u, dtype=np.int64))
+                    o_vid.append(nids)
+                    o_cos.append(np.full(len(nids), np.nan))
+            if not o_qid:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(o_qid), type=pa.int64()),
+                    pa.array(np.concatenate(o_vid), type=pa.int64()),
+                    pa.array(np.concatenate(o_cos), type=pa.float64(), from_pandas=True),  # NaN -> NULL
+                ],
+                schema=out_schema,
+            )
+
+    raw = cand.mapInArrow(kernel, "qid long, vid long, cos_raw double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vid"))
+    return (
+        raw.select("qid", "vid", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("qid").cast(qid_t).alias(query_id_col),
+            F.col("vid").cast(id_t).alias(id_col),
+            "cos_sim",
+        )
+    )
+
+
 def cosine_self_join(
     df: DataFrame,
     threshold: float = 0.95,
@@ -466,24 +648,47 @@ class LshAnnIndex:
             .limit(k)
         )
 
-    def topk_batch(self, queries: DataFrame, k: int = 10, query_id_col: str = "query_id", query_vec_col: str = "embedding") -> DataFrame:
-        """Batched ANN — top-k for EVERY query vector in one job, the actual
-        pipeline shape (\"for each new document, find its neighbors\"). Query
-        signatures are computed with the same plane expressions, then a
-        single equi-join on the encoded (table, signature) key produces
-        candidates; only candidates pay the exact cosine, and a per-query
-        window takes the top k. Work scales with bucket overlap
-        (~n·n_queries·n_tables/2^n_planes cosines), not n·n_queries."""
+    def _candidate_pairs(self, queries: DataFrame, query_id_col: str, query_vec_col: str) -> DataFrame:
+        """Lean (qid, id) candidates: query signatures from the same plane
+        expressions, one equi-join on the encoded (table, signature) key,
+        dedup. Candidates stay LEAN through the dedup shuffle — vectors are
+        attached only afterwards (shuffling 64-float vectors per candidate
+        row would dominate the join at scale)."""
         enc = [
             (F.lit(t << self.n_planes).cast("long") + lsh_signature(F.col(query_vec_col), self.dim, self.n_planes, self.seed + t * 101))
             for t in range(self.n_tables)
         ]
-        # candidates stay LEAN through the dedup shuffle — (qid, id) longs
-        # only; vectors are attached afterwards (the query side broadcast,
-        # the corpus side by id). Shuffling both 64-float vectors per
-        # candidate row would dominate the join at scale.
         qx = queries.select(F.col(query_id_col).alias("qid"), F.explode(F.array(*enc)).alias("enc"))
-        pairs = qx.join(self.pairs, "enc").dropDuplicates(["qid", "id"])
+        return qx.join(self.pairs, "enc").dropDuplicates(["qid", "id"])
+
+    def topk_batch(self, queries: DataFrame, k: int = 10, query_id_col: str = "query_id", query_vec_col: str = "embedding") -> DataFrame:
+        """Batched ANN — top-k for EVERY query vector in one job, the actual
+        pipeline shape (\"for each new document, find its neighbors\"). Work
+        scales with bucket overlap (~n·n_queries·n_tables/2^n_planes
+        cosines), not n·n_queries. The candidate re-rank runs in the shared
+        Arrow kernel (_rerank_topk_arrow — byte-identical to the expression
+        path, asserted in tests): the interpreted HOF cosine was the
+        measured 200k-batch bottleneck, and AQE sizes the lean candidate
+        join's partitions by shuffle BYTES, leaving the per-row compute on
+        a handful of tasks. Falls back to the expression shape for
+        non-integral ids or a NULL/ragged query set."""
+        qm = _collect_query_matrix(queries, query_id_col, query_vec_col, self.dim)
+        id_t = dict(self.indexed.dtypes)["id"]
+        if qm is None or id_t not in ("bigint", "int"):
+            return self._topk_batch_jvm(queries, k, query_id_col, query_vec_col)
+        qid_t, qids, Q = qm
+        cand = (
+            self._candidate_pairs(queries, query_id_col, query_vec_col)
+            .join(self.indexed.select("id", "v"), "id")
+            .select(F.col("qid").cast("long"), F.col("id").cast("long").alias("vid"), F.col("v"))
+        )
+        return _rerank_topk_arrow(cand, qids, Q, k, self.id_col, query_id_col, id_t, qid_t)
+
+    def _topk_batch_jvm(self, queries: DataFrame, k: int, query_id_col: str, query_vec_col: str) -> DataFrame:
+        """Expression-based batch (fallback): broadcast the query vectors
+        onto the candidates, HOF cosine, per-query window. Exact for any id
+        type / ragged dims."""
+        pairs = self._candidate_pairs(queries, query_id_col, query_vec_col)
         qv = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv"))
         cand = (
             pairs.join(F.broadcast(qv), "qid")
@@ -938,11 +1143,31 @@ class IvfIndex:
         table on cell, exact-reranks inside the probed cells only —
         nprobe/n_cells of the n·n_queries work. The round-2 shape built a
         sorted n_cells-struct array EXPRESSION per query row — the same
-        literal blowup the assignment had; one Arrow batch replaces it."""
+        literal blowup the assignment had; one Arrow batch replaces it.
+        The re-rank runs in the shared Arrow kernel (_rerank_topk_arrow,
+        byte-identical to the expression path — the interpreted HOF cosine
+        was the measured per-candidate bottleneck); falls back to the
+        expression shape for non-integral ids or a NULL/ragged query set."""
+        qm = _collect_query_matrix(queries, query_id_col, query_vec_col, int(self.centroids.shape[1]))
+        id_t = dict(self.assigned.dtypes).get(self.id_col)
+        if qm is None or id_t not in ("bigint", "int"):
+            return self._topk_batch_jvm(queries, k, nprobe, query_id_col, query_vec_col)
+        qid_t, qids, Q = qm
+        probe = _assign_udf(queries, self.centroids, out_type="array<int>", nprobe=nprobe)(F.col(query_vec_col))
+        qx = queries.select(F.col(query_id_col).alias("qid"), F.explode(probe).alias("cell"))
+        cand = self.assigned.join(F.broadcast(qx), "cell").select(
+            F.col("qid").cast("long"),
+            F.col(self.id_col).cast("long").alias("vid"),
+            F.col(self.vec_col).alias("v"),
+        )
+        return _rerank_topk_arrow(cand, qids, Q, k, self.id_col, query_id_col, id_t, qid_t)
+
+    def _topk_batch_jvm(self, queries: DataFrame, k: int, nprobe: int, query_id_col: str, query_vec_col: str) -> DataFrame:
+        """Expression-based batch (fallback): the query vector rides the
+        broadcast (qid, cell) pairs, HOF cosine, per-query window. Exact
+        for any id type / ragged dims."""
         qv = F.col(query_vec_col)
         probe = _assign_udf(queries, self.centroids, out_type="array<int>", nprobe=nprobe)(qv)
-        # (qid, cell) pairs broadcast into the cell-partitioned assignment
-        # scan; the query vector rides along (queries are the small side)
         qx = queries.select(F.col(query_id_col).alias("qid"), qv.alias("qv"), F.explode(probe).alias("cell"))
         cand = self.assigned.join(F.broadcast(qx), "cell").select(
             "qid", F.col(self.id_col), F.round(cosine(F.col("qv"), F.col(self.vec_col)), 6).alias("cos_sim")

@@ -148,6 +148,53 @@ def test_arrow_batch_topk_is_byte_identical_to_expression_path(emb, spark):
     assert got == want
 
 
+def test_ann_batch_rerank_is_byte_identical_to_expression_path(emb, spark):
+    """The r6 Arrow-kernel re-rank inside LshAnnIndex.topk_batch and
+    IvfIndex.topk_batch must reproduce their JVM expression fallbacks
+    EXACTLY — same rows, same double bits (strict per-dimension fold,
+    rounding in Catalyst) — including zero-norm (NULL cosine), ragged and
+    NULL corpus vectors, and queries with < k candidates."""
+    from pyspark.sql import functions as F
+
+    from tag_spark.operators.similarity import IvfIndex, LshAnnIndex
+
+    adv = spark.createDataFrame(
+        [(100001, [0.0] * 64), (100002, [1.0] * 63), (100003, None)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(adv)
+    queries = emb.filter("vec_id % 13 = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def canon(rows):
+        return sorted((r.query_id, r.vec_id, repr(r.cos_sim)) for r in rows)
+
+    # few tables so some queries see < k candidates (the NULL-cap branch)
+    idx = LshAnnIndex(corpus, dim=64, n_planes=8, n_tables=2)
+    try:
+        assert canon(idx.topk_batch(queries, k=5).collect()) == canon(
+            idx._topk_batch_jvm(queries, 5, "query_id", "embedding").collect()
+        )
+    finally:
+        idx.unpersist()
+
+    # IVF: adversarial vectors restricted to what assignment accepts
+    # (zero vector); NULL/ragged corpus rows are exercised by the LSH arm
+    ivf_corpus = emb.select("vec_id", "embedding").unionByName(adv.filter("vec_id = 100001"))
+    ivf = IvfIndex(ivf_corpus, n_cells=8)
+    assert canon(ivf.topk_batch(queries, k=5, nprobe=3).collect()) == canon(
+        ivf._topk_batch_jvm(queries, 5, 3, "query_id", "embedding").collect()
+    )
+
+    # non-integral query ids take the JVM fallback and still compute
+    squeries = queries.select(F.col("query_id").cast("string").alias("query_id"), "embedding")
+    idx2 = LshAnnIndex(emb, dim=64, n_planes=8, n_tables=2)
+    try:
+        rows = idx2.topk_batch(squeries, k=3).collect()
+        assert rows and all(isinstance(r.query_id, str) for r in rows)
+    finally:
+        idx2.unpersist()
+
+
 def test_ivf_index_rebuilds_on_stale_path(emb, qvec, tmp_path):
     """A path built from DIFFERENT data must be rebuilt, not silently
     reused with fresh centroids (probes would hit the wrong cells)."""
