@@ -264,12 +264,21 @@ def _collect_query_matrix(queries: DataFrame, query_id_col: str, query_vec_col: 
     or any NULL / ragged / NULL-element query vector — in which case the
     caller uses its expression-based JVM shape (whose lazy semantics those
     edge cases already define)."""
+    import math
+
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     if qid_t not in ("bigint", "int"):
         return None
     qrows = queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")).collect()
+    # NaN query elements also bail to the JVM expression path: SQL NaN
+    # ordering (NaN sorts above every number, NaN >= 0 is TRUE) diverges
+    # from numpy comparison semantics, so the JVM path stays the single
+    # definition of NaN behavior for signatures, probes and cosines
     if not qrows or any(
-        r["qid"] is None or r["qv"] is None or len(r["qv"]) != dim or any(t is None for t in r["qv"])
+        r["qid"] is None
+        or r["qv"] is None
+        or len(r["qv"]) != dim
+        or any(t is None or math.isnan(t) for t in r["qv"])
         for r in qrows
     ):
         return None
@@ -619,24 +628,113 @@ class LshAnnIndex:
         seed: int = 42,
     ):
         self.id_col, self.dim, self.n_planes, self.n_tables, self.seed = id_col, dim, n_planes, n_tables, seed
-        enc = [
-            (F.lit(t << n_planes).cast("long") + lsh_signature(F.col(vec_col), dim, n_planes, seed + t * 101))
-            for t in range(n_tables)
-        ]
         # right-size partitions at build time: query latency on a cached
         # index is dominated by task scheduling, not compute — ~100k vectors
         # per task keeps a small index a 1-2 task job while large corpora
         # keep full parallelism. Sizing reads parquet footers when the
         # input is a pure scan (no count job; see _scan_row_count).
         n_parts = max(1, -(-_scan_row_count(df) // 100_000))
-        self.indexed = (
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.array(*enc).alias("sigs"))
-            .repartition(n_parts)
-            .persist()
-        )
+        self.indexed = self._signed(df, id_col, vec_col).repartition(n_parts).persist()
         # lean exploded (enc, id) pairs for the batched join path — 16 bytes
         # per entry, persisted once so batch queries skip the array explode
         self.pairs = self.indexed.select(F.explode("sigs").alias("enc"), "id").persist()
+
+    def _sigs_expr_df(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Expression-shaped (id, v, sigs) — the semantics oracle for
+        _signed, kept for the byte-identity tests: n_tables × n_planes
+        hyperplane literal arrays folded through interpreted zip_with /
+        aggregate HOFs. Measured: ~4 s build+first-query on a 2 000-vector
+        corpus (≈4 M interpreted per-element lambdas) and scaling linearly
+        with corpus size — which is why the build path uses the Arrow
+        kernel instead."""
+        enc = [
+            (
+                F.lit(t << self.n_planes).cast("long")
+                + lsh_signature(F.col(vec_col), self.dim, self.n_planes, self.seed + t * 101)
+            )
+            for t in range(self.n_tables)
+        ]
+        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.array(*enc).alias("sigs"))
+
+    def _signed(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """(id, v, sigs) with every table's encoded signature computed in
+        ONE ``mapInArrow`` pass (guide §4.2). Bit-identical to the
+        expression shape (_sigs_expr_df, asserted in tests): per plane the
+        dot is the STRICT per-dimension left fold acc + x_d·h_d over the
+        exact hyperplane doubles the expression path inlines (float
+        corpus values widen to float64 identically on both sides), and the
+        sign test replicates Spark SQL comparison semantics — a NaN dot
+        sets the bit (SQL NaN sorts above every number, so NaN >= 0 is
+        TRUE), a NULL dot (NULL/ragged/NULL-element vector: zip_with pads
+        with NULL and the fold poisons) leaves the bit unset. Replaces a
+        plan carrying n_tables × n_planes 64-double literal arrays through
+        interpreted HOFs — eval cost was ~1 µs per vector element PER
+        PLANE, the measured bulk of index builds at every corpus size."""
+        import numpy as np
+
+        dim, n_planes, n_tables, seed = self.dim, self.n_planes, self.n_tables, self.seed
+        HP = np.array(
+            [[_hyperplane(dim, p, seed + t * 101) for p in range(n_planes)] for t in range(n_tables)],
+            dtype=np.float64,
+        )
+        id_t = df.schema[id_col].dataType.simpleString()
+        v_t = df.schema[vec_col].dataType.simpleString()
+
+        def kernel(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for b in batches:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                vcol = b.column(1)
+                sigs = np.zeros((n, n_tables), dtype=np.int64)
+                lens = pc.list_value_length(vcol)
+                flat_ok = (
+                    vcol.null_count == 0
+                    and lens.null_count == 0
+                    and pc.min(lens).as_py() == dim
+                    and pc.max(lens).as_py() == dim
+                )
+                if flat_ok:
+                    flat = vcol.flatten() if hasattr(vcol, "flatten") else vcol.values
+                    flat_ok = flat.null_count == 0
+                    if flat_ok:
+                        X = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
+                if flat_ok:
+                    for t in range(n_tables):
+                        for p in range(n_planes):
+                            acc = np.zeros(n, dtype=np.float64)
+                            h = HP[t, p]
+                            for d in range(dim):
+                                acc += X[:, d] * h[d]
+                            bit = (acc >= 0) | np.isnan(acc)
+                            sigs[:, t] |= bit.astype(np.int64) << p
+                else:
+                    # NULL/ragged/NULL-element rows: their dot is NULL on the
+                    # expression path -> bit unset; rows that are clean
+                    # compute the same strict fold row-wise
+                    vecs = vcol.to_pylist()
+                    for i, v in enumerate(vecs):
+                        if v is None or len(v) != dim or any(x is None for x in v):
+                            continue
+                        for t in range(n_tables):
+                            for p in range(n_planes):
+                                acc1 = 0.0
+                                h = HP[t, p]
+                                for d in range(dim):
+                                    acc1 = acc1 + float(v[d]) * h[d]
+                                if acc1 >= 0 or np.isnan(acc1):
+                                    sigs[i, t] |= 1 << p
+                sigs += np.arange(n_tables, dtype=np.int64)[None, :] << n_planes
+                offsets = pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32))
+                sig_arr = pa.ListArray.from_arrays(offsets, pa.array(sigs.reshape(-1), type=pa.int64()))
+                yield pa.RecordBatch.from_arrays([b.column(0), vcol, sig_arr], names=["id", "v", "sigs"])
+
+        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInArrow(
+            kernel, f"id {id_t}, v {v_t}, sigs array<bigint>"
+        )
 
     def topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
         qenc = [(t << self.n_planes) | s for t, s in _query_signatures(query_vec, self.n_planes, self.n_tables, self.seed)]
@@ -677,8 +775,34 @@ class LshAnnIndex:
         if qm is None or id_t not in ("bigint", "int"):
             return self._topk_batch_jvm(queries, k, query_id_col, query_vec_col)
         qid_t, qids, Q = qm
+        # query signatures computed DRIVER-SIDE from the already-collected
+        # matrix (the same strict per-dimension left fold as the JVM
+        # lsh_signature expression — bit-identical IEEE doubles, asserted in
+        # tests). The expression shape inlined n_tables × n_planes
+        # hyperplane literal arrays (~4k literal doubles at 8×8×64) into an
+        # interpreted HOF subtree whose planning+eval cost ~2.5 s PER CALL
+        # for a 67-row query set — the measured bulk of the batched LSH
+        # query (guide §7.2: plan size is a real cost; §4.1: the work is 67
+        # rows, not a distributed job). A ≤ n_queries·n_tables-row literal
+        # frame replaces it; candidate generation is otherwise unchanged.
+        import numpy as np
+
+        nq = len(qids)
+        enc_rows = []
+        for t in range(self.n_tables):
+            sig = np.zeros(nq, dtype=np.int64)
+            for p in range(self.n_planes):
+                h = _hyperplane(self.dim, p, self.seed + t * 101)
+                acc = np.zeros(nq, dtype=np.float64)
+                for d in range(self.dim):
+                    acc += Q[:, d] * h[d]
+                sig |= (acc >= 0).astype(np.int64) << p
+            base = t << self.n_planes
+            enc_rows += [(int(q), int(base | s)) for q, s in zip(qids, sig)]
+        qx = queries.sparkSession.createDataFrame(enc_rows, "qid long, enc long")
         cand = (
-            self._candidate_pairs(queries, query_id_col, query_vec_col)
+            qx.join(self.pairs, "enc")
+            .dropDuplicates(["qid", "id"])
             .join(self.indexed.select("id", "v"), "id")
             .select(F.col("qid").cast("long"), F.col("id").cast("long").alias("vid"), F.col("v"))
         )
@@ -1033,7 +1157,24 @@ class IvfIndex:
             # adds nothing, so it is deliberately NOT part of the
             # fingerprint: that is what lets append_shard advance it
             # without rescanning the standing corpus).
-            self._n, self._h = _corpus_digest(df, id_col, vec_col)
+            # fresh-build fast path: when no committed index exists at the
+            # path (no _SUCCESS), a build is certain — overlap the two
+            # independent driver-blocking jobs (corpus digest + centroid
+            # sample) from a 2-thread pool so the sample's tasks back-fill
+            # the digest's straggler tail (guide §2.6). When _SUCCESS
+            # exists the sample may not be needed at all (fresh meta skips
+            # it), so the jobs stay sequential and nothing speculative runs.
+            init = None
+            if not _fs_exists(spark, f"{path}/_SUCCESS"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fut_digest = pool.submit(_corpus_digest, df, id_col, vec_col)
+                    fut_sample = pool.submit(_sample_centroids, df, n_cells, id_col, vec_col)
+                    self._n, self._h = fut_digest.result()
+                    init = fut_sample.result()
+            else:
+                self._n, self._h = _corpus_digest(df, id_col, vec_col)
             fp = _ivf_fingerprint(self._n, self._h, n_cells, kmeans_iters)
             # meta I/O goes through the Hadoop FS API (like table_snapshot),
             # so the index works wherever the parquet lives — not local-only
@@ -1049,7 +1190,8 @@ class IvfIndex:
             if meta is not None and meta.get("fingerprint") == fp and "centroids" in meta:
                 self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
             else:
-                init = _sample_centroids(df, n_cells, id_col, vec_col)
+                if init is None:
+                    init = _sample_centroids(df, n_cells, id_col, vec_col)
                 self.centroids = kmeans_refine(df, init, kmeans_iters, vec_col)
                 # repartition BY CELL before the partitioned write: without
                 # it every shuffle partition writes a sliver into every
@@ -1153,8 +1295,19 @@ class IvfIndex:
         if qm is None or id_t not in ("bigint", "int"):
             return self._topk_batch_jvm(queries, k, nprobe, query_id_col, query_vec_col)
         qid_t, qids, Q = qm
-        probe = _assign_udf(queries, self.centroids, out_type="array<int>", nprobe=nprobe)(F.col(query_vec_col))
-        qx = queries.select(F.col(query_id_col).alias("qid"), F.explode(probe).alias("cell"))
+        # probe cells computed DRIVER-SIDE from the already-collected query
+        # matrix — the IDENTICAL numpy ops as _assign_udf's nprobe path
+        # (_direct_d2 + stable argsort, ties -> lowest cell), so the cell
+        # set per query cannot differ; this drops the pandas-UDF probe job
+        # (Python worker spin-up + Arrow round-trip for a ≤ n_queries-row
+        # input) from every batched call (guide §4.1: don't ship 67 rows to
+        # a Python worker when the matrix is already on the driver)
+        import numpy as np
+
+        d2 = _direct_d2(Q, self.centroids)
+        order = np.argsort(d2, axis=1, kind="stable")[:, : min(nprobe, self.centroids.shape[0])]
+        qx_rows = [(int(q), int(c)) for q, cells in zip(qids, order) for c in cells]
+        qx = queries.sparkSession.createDataFrame(qx_rows, "qid long, cell int")
         cand = self.assigned.join(F.broadcast(qx), "cell").select(
             F.col("qid").cast("long"),
             F.col(self.id_col).cast("long").alias("vid"),

@@ -417,3 +417,41 @@ def test_ivf_corrupt_meta_rebuilds(emb, qvec, tmp_path, spark):
     idx2 = IvfIndex(emb, n_cells=8, path=p)
     got = [r["vec_id"] for r in idx2.topk(qvec, k=5, nprobe=8).collect()]
     assert got == want
+
+
+def test_lsh_build_kernel_sigs_match_expression_path(spark):
+    """The r6 Arrow-kernel index signatures (_signed) must equal the
+    expression shape (_sigs_expr_df) BIT FOR BIT, including the edges
+    where SQL and numpy semantics diverge: NULL vector / ragged length /
+    NULL element (NULL dot -> bit unset), NaN element (SQL NaN >= 0 is
+    TRUE -> bit set), zero vector, ±inf. The kernel replaced a plan
+    carrying n_tables × n_planes hyperplane literal arrays through
+    interpreted HOFs (measured ~4 s per build at 2k vectors)."""
+    from pyspark.sql import types as T
+
+    from tag_spark.operators.similarity import LshAnnIndex
+
+    assert spark.sql("SELECT double('NaN') >= 0 AS x").first()["x"] is True
+    rows = [
+        (1, [0.5] * 64),
+        (2, [-0.5] * 64),
+        (3, None),
+        (4, [0.1] * 63),
+        (5, [0.1] * 65),
+        (6, [0.1] * 32 + [None] + [0.1] * 31),
+        (7, [float("nan")] + [0.2] * 63),
+        (8, [0.0] * 64),
+        (9, [1e30] * 64),
+        (10, [float("-inf")] + [1.0] * 63),
+    ]
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    df = spark.createDataFrame(rows, schema)
+    idx = LshAnnIndex(df, dim=64, n_planes=8, n_tables=8)
+    try:
+        kern = {r["id"]: r["sigs"] for r in idx._signed(df, "vec_id", "embedding").collect()}
+        expr = {r["id"]: r["sigs"] for r in idx._sigs_expr_df(df, "vec_id", "embedding").collect()}
+        assert kern == expr
+    finally:
+        idx.unpersist()
