@@ -44,10 +44,10 @@ def mod_bucket(col: str, n: int) -> Column:
     Sign semantics: `%` (sign-of-dividend), NOT pmod — every oracle replay
     uses DuckDB's `%`, which keeps the sign of the dividend (-5 % 64 = -5),
     while pmod would map a negative key to 59 and silently diverge
-    engine-vs-oracle (ADVICE r5). Negative buckets fall outside the
-    verdict matrix's fast observed 0..n-1 range; the suite detects them
-    via an observed residual count and falls back to the exact
-    bucket-count scan (see ValidationSuite.run)."""
+    engine-vs-oracle (ADVICE r5). Negative buckets are counted exactly:
+    ValidationSuite.run derives the verdict matrix's rows_checked from a
+    column-pruned groupBy scan of the bucket expression, which enumerates
+    whatever bucket ids the data produces (no fixed 0..n-1 range)."""
     return F.coalesce(F.col(col) % F.lit(n), F.lit(0)).cast("int")
 
 
