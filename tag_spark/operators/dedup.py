@@ -183,19 +183,23 @@ def ngram_jaccard_pairs(
     alpha2 = (r - F.pmod(r, F.lit(q))) / F.lit(q)
     a = pref.alias("a")
     b = pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.hb") == F.col("b.hb"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                (1 + F.least(F.col("a.n_sh") - (F.col("a.p0") + 1), F.col("b.n_sh") - (F.col("b.p0") + 1)))
-                >= alpha2
-            ),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # NOT deduplicated here: a pair reachable through several shared
+    # prefix hashes repeats, but the bitmap upper-bound filter below is a
+    # deterministic pure function of the pair's doc attributes, so dedup
+    # commutes with it — and running the (broadcast, map-side) bitmap
+    # joins FIRST means the dedup exchange carries only bound-surviving
+    # pairs (~the true pair set) instead of the full candidate stream
+    # (42 M rows at the 50 k-doc sf1.0 corpus). The extra bitmap evals on
+    # duplicate candidates are a few codegen'd long ops per row.
+    cand = a.join(
+        b,
+        (F.col("a.hb") == F.col("b.hb"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            (1 + F.least(F.col("a.n_sh") - (F.col("a.p0") + 1), F.col("b.n_sh") - (F.col("b.p0") + 1)))
+            >= alpha2
+        ),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
     # stage 1 verify — 256-bit bitmap upper bound, six longs per side
     # instead of whole shingle arrays (carrying two ~50-element arrays
@@ -240,6 +244,9 @@ def ngram_jaccard_pairs(
         # may sit 5e-7 below t; J_ub >= J makes this a provable superset
         .filter(F.col("__iub") / (F.col("n_a") + F.col("n_b") - F.col("__iub")) >= threshold - 1e-6)
         .select("id_a", "id_b")
+        # dedup AFTER the bitmap kill: the exchange now carries survivors
+        # only (see the candidate-join note above)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
     # stage 2 verify — EXACT string intersection on the (tiny) survivor
@@ -590,7 +597,12 @@ def simhash_pairs(
     (chunk_idx, chunk_value), verified with bit_count(xor)."""
     chunks = simhash_chunk_table(df, id_col, text_col, max_hamming, seed)
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # hamming verified BEFORE the dedup: both fingerprints already ride
+    # the candidate row, so the ball test is a pure map-side projection —
+    # filtering first means the dropDuplicates exchange carries only TRUE
+    # pairs instead of every chunk-collision candidate (dedup commutes
+    # with a deterministic per-pair filter; output unchanged)
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -600,14 +612,10 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -632,8 +640,11 @@ def simhash_pairs_incremental(
     nb = simhash_chunk_table(new_df, id_col, text_col, max_hamming, seed)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
-    swap = F.col("a.id") < F.col("b.id")
-    cand = (
+    # hamming is symmetric (XOR), so the ball test runs directly on the
+    # join row BEFORE the id normalization and dedup — the dropDuplicates
+    # exchange then carries only TRUE pairs, not every chunk-collision
+    # candidate (the filter is a pure per-pair function: dedup commutes)
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -643,14 +654,10 @@ def simhash_pairs_incremental(
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.when(swap, F.col("a.simhash")).otherwise(F.col("b.simhash")).alias("sim_a"),
-            F.when(swap, F.col("b.simhash")).otherwise(F.col("a.simhash")).alias("sim_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -720,8 +727,10 @@ def simhash_pairs_incremental_md5(
     nb = simhash_chunk_table_md5(new_df, id_col, text_col, max_hamming)
     all_chunks = chunk_table.unionByName(nb)
     a, b = nb.alias("a"), all_chunks.alias("b")
-    swap = F.col("a.id") < F.col("b.id")
-    cand = (
+    # same reorder as simhash_pairs_incremental: hamming_hex is symmetric
+    # per digit (XOR of conv'd digits), so the ball test runs on the join
+    # row BEFORE dedup and the exchange carries only TRUE pairs
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -731,14 +740,10 @@ def simhash_pairs_incremental_md5(
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.when(swap, F.col("a.simhash_hex")).otherwise(F.col("b.simhash_hex")).alias("hex_a"),
-            F.when(swap, F.col("b.simhash_hex")).otherwise(F.col("a.simhash_hex")).alias("hex_b"),
+            hamming_hex(F.col("a.simhash_hex"), F.col("b.simhash_hex")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", hamming_hex(F.col("hex_a"), F.col("hex_b")))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
